@@ -1,0 +1,170 @@
+"""Configuration dataclasses.
+
+Mirrors the reference's reflection-based ``ParamGroup`` system
+(``arguments/__init__.py:10-142``) with identical hyper-parameter defaults —
+these defaults *are* the trained recipe and must not drift.  Instead of
+reflecting class attributes into argparse at runtime, we use frozen
+dataclasses plus an explicit ``add_to_parser``/``from_args`` bridge, which is
+both introspectable and jit-friendly (configs are static pytree leaves).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Reference: ``arguments/__init__.py:39-57`` (ModelParams)."""
+
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    resolution: int = -1
+    white_background: bool = False
+    eval: bool = False
+    debug_subset: bool = False  # reference `debug_cuda`: truncate loaders to 6 cams
+    global_shs_degree: int = 3
+    env_resolution: int = 16
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Reference: ``arguments/__init__.py:60-69`` (PipelineParams)."""
+
+    compute_shs_python: bool = False
+    compute_cov3d_python: bool = False
+    tracing: bool = False
+    sample_num: int = 64
+    debug: bool = False
+    save_training_vis: bool = False
+    save_training_vis_iteration: int = 1000
+
+
+@dataclass(frozen=True)
+class OptimizationConfig:
+    """Reference: ``arguments/__init__.py:72-142`` (OptimizationParams).
+
+    All lambdas / learning rates keep the reference defaults verbatim.
+    """
+
+    iterations: int = 30_000
+
+    finetune_visibility: bool = False
+
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    normal_lr: float = 0.01
+    sh_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    env_lr: float = 0.025
+    env_rest_lr: float = 0.001
+
+    base_color_lr: float = 0.01
+    roughness_lr: float = 0.01
+    light_lr: float = 0.001
+    light_rest_lr: float = 0.0001
+    light_init: float = 3.0
+    visibility_lr: float = 0.0025
+    visibility_rest_lr: float = 0.0025
+    radiance_lr: float = 0.0001       # gaussian_model.py:527
+    radiance_ratio_lr: float = 0.01   # gaussian_model.py:528
+
+    percent_dense: float = 0.001
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    max_points: int = 1_000_000
+
+    densify_grad_threshold: float = 0.00025
+    densify_grad_normal_threshold: float = 2e-9
+    normal_densify_from_iter: int = 0
+
+    lambda_depth: float = 0.0
+    lambda_depth_smooth: float = 0.0
+    lambda_mask_entropy: float = 0.0
+
+    lambda_opacity: float = 0.0
+    lambda_opacity_start_iteration: int = 5000
+    lambda_surface: float = 0.0
+
+    lambda_normal_render_depth: float = 0.0
+    lambda_normal_mvs_depth: float = 0.0
+    lambda_normal_smooth: float = 0.0
+    lambda_point_entropy: float = 0.0
+    lambda_orientation: float = 0.0
+    lambda_orientation_from_iter: int = 5000
+    lambda_depth_var: float = 0.0
+    lambda_scaling: float = 0.0
+
+    lambda_dssim: float = 0.1
+    lambda_pbr: float = 1.0
+    lambda_radiance: float = 0.05
+    lambda_light: float = 0.0
+    lambda_base_color: float = 0.0
+    lambda_base_color_smooth: float = 0.0
+    lambda_roughness_smooth: float = 0.0
+    lambda_light_smooth: float = 0.0
+    lambda_visibility_smooth: float = 0.0
+    lambda_visibility: float = 0.0
+    lambda_env_smooth: float = 0.0
+
+    lambda_local_lights_smooth: float = 1.0
+
+
+@dataclass(frozen=True)
+class RasterConfig:
+    """Rasterizer feature switches + capacity knobs.
+
+    ``surface / normalize_depth / per_pixel_depth`` mirror the reference's
+    runtime ``config`` tensor (``gaussian_model.py:148`` pc.config =
+    [True, True, True]; svgss ``forward.cu:488``).  Capacity knobs are
+    TPU-specific: XLA needs static shapes, so the instance buffer and
+    Gaussian count are padded to fixed capacities.
+    """
+
+    surface: bool = True
+    normalize_depth: bool = True
+    per_pixel_depth: bool = True
+    tile: int = 16                 # BLOCK_X/BLOCK_Y, svgss config.h
+    max_instances: int = 1 << 21   # padded (tile,depth)-sorted instance buffer
+    chunk: int = 128               # blend kernel: splats staged per inner step
+
+
+# ---------------------------------------------------------------------------
+# argparse bridge (replaces the reference's ParamGroup reflection)
+# ---------------------------------------------------------------------------
+
+_SHORTHAND = {  # reference marks these with a leading "_" => single-letter alias
+    "source_path": "-s",
+    "model_path": "-m",
+    "images": "-i",
+    "resolution": "-r",
+    "white_background": "-w",
+}
+
+
+def add_to_parser(cls, parser: argparse.ArgumentParser, name: str) -> None:
+    group = parser.add_argument_group(name)
+    for f in dataclasses.fields(cls):
+        flag = "--" + f.name
+        aliases = [_SHORTHAND[f.name]] if f.name in _SHORTHAND else []
+        if f.type in ("bool", bool):
+            group.add_argument(flag, *aliases, default=f.default, action="store_true")
+        else:
+            typ = {"int": int, "float": float, "str": str}.get(f.type, type(f.default))
+            group.add_argument(flag, *aliases, default=f.default, type=typ)
+
+
+def from_args(cls, args: argparse.Namespace):
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in vars(args).items() if k in names})

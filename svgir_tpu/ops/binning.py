@@ -1,0 +1,79 @@
+"""Tile binning: expand Gaussians into (tile, depth)-sorted instances.
+
+TPU-native replacement for the CUDA cub pipeline (rasterizer_impl.cu:209-384:
+InclusiveSum -> duplicateWithKeys -> RadixSort -> identifyTileRanges):
+
+* instance expansion is a closed-form gather (searchsorted over the offset
+  prefix sum) into a **fixed-capacity padded buffer** — no dynamic shapes;
+* the 64-bit (tileID << 32 | depth-bits) radix key becomes a lexicographic
+  two-key ``jax.lax.sort`` (stable, so equal keys keep duplication order,
+  matching cub's stable radix sort);
+* tile ranges come from two vectorized ``searchsorted`` calls.
+
+Everything here is integer bookkeeping — gradients flow only through the
+instance *gather* of per-Gaussian payloads, which callers perform with the
+returned ``gaussian_id`` (its transpose is the per-Gaussian segment-sum).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from svgir_tpu.config import RasterConfig
+from svgir_tpu.ops.preprocess import Preprocessed
+
+
+class BinnedInstances(NamedTuple):
+    gaussian_id: jax.Array   # [M] int32 — source Gaussian per sorted instance
+    tile_id: jax.Array       # [M] int32 — owning tile (sentinel T for padding)
+    inst_valid: jax.Array    # [M] bool
+    tile_start: jax.Array    # [T] int32 — range starts into the sorted list
+    tile_end: jax.Array      # [T] int32
+    num_instances: jax.Array  # [] int32 — true count (<= M)
+    overflow: jax.Array      # [] bool — true count exceeded capacity
+
+
+def bin_instances(prep: Preprocessed, *, width: int, height: int,
+                  cfg: RasterConfig = RasterConfig()) -> BinnedInstances:
+    tile = cfg.tile
+    grid_x = (width + tile - 1) // tile
+    grid_y = (height + tile - 1) // tile
+    num_tiles = grid_x * grid_y
+    m = cfg.max_instances
+
+    touched = prep.tiles_touched.astype(jnp.int32)
+    offsets = jnp.cumsum(touched) - touched            # exclusive prefix sum
+    total = offsets[-1] + touched[-1]
+    overflow = total > m
+    total = jnp.minimum(total, m)
+
+    j = jnp.arange(m, dtype=jnp.int32)
+    inst_valid = j < total
+    # instance -> gaussian: last g with offsets[g] <= j
+    gid = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32) - 1
+    gid = jnp.clip(gid, 0, prep.mean2d.shape[0] - 1)
+    k = j - offsets[gid]
+
+    # duplicateWithKeys order (rasterizer_impl.cu:70-111): y outer, x inner
+    rect_w = jnp.maximum(prep.rect_max[gid, 0] - prep.rect_min[gid, 0], 1)
+    tx = prep.rect_min[gid, 0] + k % rect_w
+    ty = prep.rect_min[gid, 1] + k // rect_w
+    tile_id = jnp.where(inst_valid, ty * grid_x + tx, num_tiles)
+
+    depth_key = jnp.where(inst_valid, prep.depth[gid], jnp.inf)
+    tile_s, _, gid_s = jax.lax.sort(
+        (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32), gid),
+        num_keys=2, is_stable=True)
+
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_s, tiles, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(tile_s, tiles, side="right").astype(jnp.int32)
+
+    return BinnedInstances(
+        gaussian_id=gid_s, tile_id=tile_s,
+        inst_valid=jnp.arange(m, dtype=jnp.int32) < total,
+        tile_start=tile_start, tile_end=tile_end,
+        num_instances=total, overflow=overflow)

@@ -1,0 +1,151 @@
+"""Image losses (pure JAX): SSIM, edge-aware smoothness, TV, cosine.
+
+Reference: ``utils/loss_utils.py``.  The edge-aware losses there call
+kornia's ``spatial_gradient(mode='sobel', normalized=True)``; we reproduce
+those kernels (3x3 sobel / 8 for order 1; 5x5 2nd-order sobel / 64 for xx,yy)
+with replicate padding.  Sign/flip conventions are irrelevant downstream
+(every consumer takes ``abs``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.abs(a - b).mean()
+
+
+def mse_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.square(a - b).mean()
+
+
+def psnr(img1: jax.Array, img2: jax.Array) -> jax.Array:
+    """utils/image_utils.py:36-37 (peak 1.0)."""
+    mse = jnp.square(img1 - img2).mean()
+    return 20 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+# ---------------------------------------------------------------------------
+# SSIM (loss_utils.py:21-64): 11x11 gaussian window, sigma 1.5, zero padding
+# ---------------------------------------------------------------------------
+
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
+               / (2 * sigma ** 2))
+    g = (g / g.sum()).astype(np.float32)
+    return np.outer(g, g)
+
+
+def _depthwise_conv(img: jax.Array, kern: jax.Array, padding) -> jax.Array:
+    """img [C, H, W], kern [kh, kw] applied per channel."""
+    c = img.shape[0]
+    lhs = img[None]                                 # [1, C, H, W]
+    rhs = jnp.broadcast_to(kern[None, None], (c, 1, *kern.shape))
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+    return out[0]
+
+
+def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
+    """Mean SSIM over a [C, H, W] pair (loss_utils.py:33-64)."""
+    kern = jnp.asarray(_gaussian_window(window_size, 1.5))
+    pad = window_size // 2
+    padding = [(pad, pad), (pad, pad)]
+    conv = partial(_depthwise_conv, kern=kern, padding=padding)
+    mu1, mu2 = conv(img1), conv(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = conv(img1 * img1) - mu1_sq
+    sigma2_sq = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img1 * img2) - mu1_mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    return ssim_map.mean()
+
+
+# ---------------------------------------------------------------------------
+# Sobel spatial gradients (kornia-compatible, normalized, replicate padding)
+# ---------------------------------------------------------------------------
+
+_SOBEL_X = np.array([[-1., 0., 1.], [-2., 0., 2.], [-1., 0., 1.]],
+                    np.float32) / 8.0
+_SOBEL_XX = np.array([[-1., 0., 2., 0., -1.],
+                      [-4., 0., 8., 0., -4.],
+                      [-6., 0., 12., 0., -6.],
+                      [-4., 0., 8., 0., -4.],
+                      [-1., 0., 2., 0., -1.]], np.float32) / 64.0
+_SOBEL_XY = np.array([[-1., -2., 0., 2., 1.],
+                      [-2., -4., 0., 4., 2.],
+                      [0., 0., 0., 0., 0.],
+                      [2., 4., 0., -4., -2.],
+                      [1., 2., 0., -2., -1.]], np.float32) / 36.0
+
+
+def _replicate_pad(img: jax.Array, pad: int) -> jax.Array:
+    return jnp.pad(img, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+
+
+def spatial_gradient(img: jax.Array, order: int = 1) -> jax.Array:
+    """[C, H, W] -> [C, G, H, W]; G=2 (dx, dy) for order 1,
+    G=3 (dxx, dxy, dyy) for order 2.  Matches kornia's normalized sobel."""
+    if order == 1:
+        kerns = [_SOBEL_X, _SOBEL_X.T]
+        pad = 1
+    else:
+        kerns = [_SOBEL_XX, _SOBEL_XY, _SOBEL_XX.T]
+        pad = 2
+    padded = _replicate_pad(img, pad)
+    outs = [_depthwise_conv(padded, jnp.asarray(k), padding="VALID")
+            for k in kerns]
+    return jnp.stack(outs, axis=1)
+
+
+def first_order_edge_aware_loss(data: jax.Array, img: jax.Array) -> jax.Array:
+    """loss_utils.py:104-105."""
+    g_data = jnp.abs(spatial_gradient(data, 1))
+    g_img = jnp.abs(spatial_gradient(img, 1))
+    return (g_data * jnp.exp(-g_img)).sum(1).mean()
+
+
+def second_order_edge_aware_loss(data: jax.Array, img: jax.Array) -> jax.Array:
+    """loss_utils.py:101-102: |dxx, dyy| of data weighted by exp(-10 |d img|)."""
+    g2 = jnp.abs(spatial_gradient(data, 2))[:, (0, 2)]
+    g1 = jnp.abs(spatial_gradient(img, 1))
+    return (g2 * jnp.exp(-10 * g1)).sum(1).mean()
+
+
+def first_order_loss(data: jax.Array) -> jax.Array:
+    return jnp.abs(spatial_gradient(data, 1)).sum(1).mean()
+
+
+def tv_loss(x: jax.Array) -> jax.Array:
+    """loss_utils.py:113-117 (mean squared neighbor difference)."""
+    h_tv = jnp.square(x[..., 1:, :] - x[..., :-1, :]).mean()
+    w_tv = jnp.square(x[..., :, 1:] - x[..., :, :-1]).mean()
+    return h_tv + w_tv
+
+
+def cos_loss(output: jax.Array, gt: jax.Array, thrsh: float = 0.0,
+             weight=1) -> jax.Array:
+    """loss_utils.py:119-121: mean (1 - cos) over pixels with cos < cos(thrsh).
+
+    The reference boolean-indexes; we mask (mean over selected pixels).
+    """
+    cos = jnp.sum(output * gt * weight, axis=0)
+    sel = cos < math.cos(thrsh)
+    cnt = jnp.maximum(sel.sum(), 1)
+    return jnp.where(sel, 1 - cos, 0.0).sum() / cnt
+
+
+def mask_entropy_loss(opacity: jax.Array, mask: jax.Array) -> jax.Array:
+    """Binary cross-entropy of rendered opacity vs mask
+    (render.py:184-188 / svgss.py:333-338)."""
+    o = jnp.clip(opacity, 1e-6, 1 - 1e-6)
+    return -(mask * jnp.log(o) + (1 - mask) * jnp.log(1 - o)).mean()

@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Per SURVEY.md §4: multi-host/sharding tests use
+``--xla_force_host_platform_device_count=8`` so sharded == single-device
+checks run without TPU hardware.  Must set env before importing jax.
+"""
+
+import os
+
+# The environment pins JAX_PLATFORMS=axon (remote TPU tunnel); tests must run
+# on the local CPU backend with a virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
