@@ -36,6 +36,22 @@ class BinnedInstances(NamedTuple):
     overflow: jax.Array      # [] bool — true count exceeded capacity
 
 
+class PaddedInstances(NamedTuple):
+    """Chunk-aligned instance layout for the Pallas blend kernel.
+
+    Each tile's instance run starts at a multiple of ``chunk`` and is padded
+    to a multiple of ``chunk`` with invalid slots, so per-tile DMA chunks
+    never straddle two tiles and per-chunk stores never clobber a neighbor.
+    """
+
+    gaussian_id: jax.Array   # [M] int32 — -1 for padding slots
+    inst_valid: jax.Array    # [M] bool
+    tile_start: jax.Array    # [T] int32 — chunk-aligned starts
+    tile_count: jax.Array    # [T] int32 — padded counts (multiples of chunk)
+    num_instances: jax.Array  # [] int32 — total padded count
+    overflow: jax.Array      # [] bool
+
+
 def bin_instances(prep: Preprocessed, *, width: int, height: int,
                   cfg: RasterConfig = RasterConfig()) -> BinnedInstances:
     tile = cfg.tile
@@ -76,4 +92,38 @@ def bin_instances(prep: Preprocessed, *, width: int, height: int,
         gaussian_id=gid_s, tile_id=tile_s,
         inst_valid=jnp.arange(m, dtype=jnp.int32) < total,
         tile_start=tile_start, tile_end=tile_end,
+        num_instances=total, overflow=overflow)
+
+
+def pad_to_chunks(binned: BinnedInstances, *, chunk: int,
+                  max_instances: int) -> PaddedInstances:
+    """Re-lay the sorted instance list so every tile's run is chunk-aligned.
+
+    Output slot q belongs to tile ``tile(q)`` (via searchsorted over the
+    padded starts) at in-tile offset ``q - padded_start``; slots past the
+    tile's true count are padding (gaussian_id -1).
+    """
+    counts = binned.tile_end - binned.tile_start                    # [T]
+    padded_counts = ((counts + chunk - 1) // chunk) * chunk
+    padded_starts = jnp.cumsum(padded_counts) - padded_counts       # exclusive
+    total = padded_starts[-1] + padded_counts[-1]
+    overflow = binned.overflow | (total > max_instances)
+    total = jnp.minimum(total, max_instances)
+
+    q = jnp.arange(max_instances, dtype=jnp.int32)
+    # owning tile: last tile whose padded_start <= q and padded_count > 0.
+    # 'right' search over the exclusive starts skips zero-count tiles
+    # (their start equals the next tile's start).
+    tile = jnp.searchsorted(padded_starts, q, side="right").astype(jnp.int32) - 1
+    tile = jnp.clip(tile, 0, counts.shape[0] - 1)
+    off = q - padded_starts[tile]
+    valid = (q < total) & (off < counts[tile])
+    src = jnp.clip(binned.tile_start[tile] + off, 0,
+                   binned.gaussian_id.shape[0] - 1)
+    gid = jnp.where(valid, binned.gaussian_id[src], -1)
+
+    return PaddedInstances(
+        gaussian_id=gid, inst_valid=valid,
+        tile_start=padded_starts.astype(jnp.int32),
+        tile_count=padded_counts.astype(jnp.int32),
         num_instances=total, overflow=overflow)

@@ -1,0 +1,400 @@
+"""Tiled alpha-compositing Pallas kernel (forward + hand-written backward).
+
+TPU-native re-design of the svgss CUDA blend kernels (forward.cu renderCUDA
+:402-750, backward.cu renderCUDA :530-934).  Key differences from the CUDA
+design, chosen for the TPU execution model:
+
+* **Chunked MXU formulation.**  Instead of one pixel per thread marching
+  splats one-by-one, each grid step owns a 16x16 tile (256 pixels on
+  sublanes) and processes ``CHUNK`` splats at a time (on lanes).  The
+  front-to-back recurrence becomes an exclusive prefix sum of
+  ``log(1-alpha)`` — computed as a [P,G]x[G,G] triangular matmul on the
+  MXU — and attribute accumulation becomes [P,G]x[G,C] matmuls.
+* **Log-space transmittance** (see ops/common.py): exact prefix structure,
+  no underflow, numerically stable reverse reconstruction in the backward
+  (the CUDA backward's divide-up-by-(1-alpha) trick, but additive).
+* **No atomics.**  Per-splat weight sums are per-instance row reductions
+  DMA'd to chunk-aligned slots (ops/binning.py pad_to_chunks), then
+  segment-summed per Gaussian outside; deterministic by construction where
+  the CUDA atomicAdd path is not.
+
+Instance data layout: one f32 slab [KR, M] (rows = scalars, columns =
+sorted+padded instances) so each chunk is a single 2-D DMA:
+
+  rows 0..NG-1   "geometry" consumed nonlinearly by the kernel:
+                  0 x, 1 y, 2 conic_xx, 3 conic_xy, 4 conic_yy, 5 opacity,
+                  6 j0, 7 j1, 8 j2, 9 j3 (screen->tangent 2x2),
+                  10 lam_x, 11 lam_y (surfel scale.xy)
+  rows NG..      CA "plain" channels blended linearly with weight w
+                  (color, view normal, affine depth triplet, S features)
+  rows NG+CA..   4*CV vertex channels (v-major: v*CV + c), blended with
+                  w * bilinear vertex weight.
+
+Per-tile output block [P=256, CA+CV+2]: plain accums, vertex accums, final
+logT, n_contrib.  Final image assembly (bg composite, depth normalization)
+happens outside in plain JAX, so this kernel's custom VJP boundary receives
+gradients for raw accumulators and logT directly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from svgir_tpu.ops.common import ALPHA_MAX, ALPHA_MIN, LOG_T_EPS
+
+NG = 12          # geometry rows in the slab
+PIX = 256        # pixels per 16x16 tile
+NEG_INF = -1e30
+
+
+def _pixel_coords(t, grid_x, tile):
+    """Tile-t pixel coordinates as [PIX, 1] f32 columns (row-major in tile)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    tx = (t % grid_x) * tile
+    ty = (t // grid_x) * tile
+    px = (tx + p % tile).astype(jnp.float32)
+    py = (ty + p // tile).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_math(slab, px, py, chunk):
+    """Shared forward recomputation for one chunk.
+
+    slab: [KR, chunk] VMEM block.  Returns a dict of [PIX, chunk] arrays and
+    helper rows.  Invalid (padding) instances carry opacity 0 -> ok=False.
+    """
+    def row(i):
+        return slab[i:i + 1, :]  # [1, chunk]
+
+    dx = row(0) - px        # broadcasts to [PIX, chunk]
+    dy = row(1) - py
+    cx, cy, cz = row(2), row(3), row(4)
+    power = -0.5 * (cx * dx * dx + cz * dy * dy) - cy * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, row(5) * jnp.exp(power))
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    loga = jnp.where(ok, jnp.log1p(-alpha), 0.0)
+
+    du0 = dx * row(6) + dy * row(7)
+    du1 = dx * row(8) + dy * row(9)
+    uv_max_x = 0.5 * row(10) + 0.1
+    uv_max_y = 0.5 * row(11) + 0.1
+    u_raw = du0 / uv_max_x * 0.5 + 0.5
+    v_raw = du1 / uv_max_y * 0.5 + 0.5
+    u = jnp.clip(u_raw, 0.001, 0.999)
+    v = jnp.clip(v_raw, 0.001, 0.999)
+    return dict(dx=dx, dy=dy, power=power, alpha=alpha, ok=ok, loga=loga,
+                du0=du0, du1=du1, u=u, v=v, u_raw=u_raw, v_raw=v_raw,
+                uv_max_x=uv_max_x, uv_max_y=uv_max_y)
+
+
+def _tri_strict_upper(g):
+    i = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (i < j).astype(jnp.float32)
+
+
+def _tri_strict_lower(g):
+    i = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (i > j).astype(jnp.float32)
+
+
+def _tri_lower_incl(g):
+    i = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (i >= j).astype(jnp.float32)
+
+
+def _dot(a, b, dims):
+    # HIGHEST: the MXU otherwise decomposes f32 into bf16 passes; the
+    # log-transmittance prefix sum is exponentiated downstream and the
+    # attribute accumulations feed image losses, so both need full f32.
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
+                slab_vmem, wrow_vmem, dma_sem, w_sem,
+                *, chunk, ca, cv, kr, grid_x, tile):
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], chunk)
+    nchunks = counts_ref[t] // chunk
+    px, py = _pixel_coords(t, grid_x, tile)
+    su = _tri_strict_upper(chunk)
+
+    out_ref[0] = jnp.zeros((PIX, ca + cv + 2), jnp.float32)
+
+    def body(c, logT):
+        copy = pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)], slab_vmem,
+            dma_sem)
+        copy.start()
+        copy.wait()
+        slab = slab_vmem[:, :]
+        m = _chunk_math(slab, px, py, chunk)
+
+        logT_excl = logT + _dot(m["loga"], su, ((1,), (0,)))
+        gate = m["ok"] & (logT_excl >= LOG_T_EPS)
+        w = jnp.where(gate, m["alpha"] * jnp.exp(logT_excl), 0.0)
+
+        attrs = slab[NG:NG + ca, :]                       # [CA, chunk]
+        acc_plain = _dot(w, attrs, ((1,), (1,)))          # [PIX, CA]
+        out_ref[0, :, 0:ca] += acc_plain
+
+        if cv:
+            wv = ((1 - m["u"]) * (1 - m["v"]), m["u"] * (1 - m["v"]),
+                  (1 - m["u"]) * m["v"], m["u"] * m["v"])
+            acc_vf = jnp.zeros((PIX, cv), jnp.float32)
+            for vtx in range(4):
+                va = slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+                acc_vf += _dot(w * wv[vtx], va, ((1,), (1,)))
+            out_ref[0, :, ca:ca + cv] += acc_vf
+
+        out_ref[0, :, ca + cv + 1:ca + cv + 2] += jnp.sum(
+            gate.astype(jnp.float32), axis=1, keepdims=True)
+
+        wrow_vmem[:, :] = jnp.sum(w, axis=0, keepdims=True)  # [1, chunk]
+        wcopy = pltpu.make_async_copy(
+            wrow_vmem, wsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)], w_sem)
+        wcopy.start()
+        wcopy.wait()
+
+        return logT + jnp.sum(m["loga"], axis=1, keepdims=True)
+
+    logT = jax.lax.fori_loop(0, nchunks, body, jnp.zeros((PIX, 1), jnp.float32))
+    out_ref[0, :, ca + cv:ca + cv + 1] = logT
+
+
+def blend_forward(slab: jax.Array, tile_start: jax.Array,
+                  tile_count: jax.Array, *, ca: int, cv: int,
+                  num_tiles: int, grid_x: int, tile: int = 16,
+                  chunk: int = 128, interpret: bool = False):
+    """Run the forward blend.  Returns (out [T, 256, CA+CV+2], wsum [1, M])."""
+    kr, m = slab.shape
+    kernel = functools.partial(_fwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
+                               grid_x=grid_x, tile=tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, PIX, ca + cv + 2), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kr, chunk), jnp.float32),
+            pltpu.VMEM((1, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out, wsum = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, PIX, ca + cv + 2), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tile_start, tile_count, slab)
+    return out, wsum
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, logt_ref,
+                gwsum_hbm, dslab_hbm,
+                slab_vmem, grow_vmem, dslab_vmem, dma_sem, g_sem, d_sem,
+                *, chunk, ca, cv, kr, grid_x, tile):
+    """Reverse sweep: chunks from last to first, reconstructing logT.
+
+    Emits per-instance gradients d_slab [KR, chunk] per chunk.  Carries
+    (logT_after, suf) where suf = sum over later instances of
+    dL/dw * w  +  g_logT (the chain of log-transmittance into everything
+    downstream) — the accum_rec recurrence of backward.cu:735-860 in
+    prefix-sum form.
+    """
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], chunk)
+    nchunks = counts_ref[t] // chunk
+    px, py = _pixel_coords(t, grid_x, tile)
+    sl = _tri_strict_lower(chunk)
+    li = _tri_lower_incl(chunk)
+
+    g_plain = gout_ref[0, :, 0:ca]                       # [PIX, CA]
+    g_vf = gout_ref[0, :, ca:ca + cv]
+    g_logt = gout_ref[0, :, ca + cv:ca + cv + 1]         # [PIX, 1]
+
+    def body(i, carry):
+        logT_after, suf = carry
+        c = nchunks - 1 - i
+        copy = pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)], slab_vmem,
+            dma_sem)
+        copy.start()
+        gcopy = pltpu.make_async_copy(
+            gwsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)], grow_vmem,
+            g_sem)
+        gcopy.start()
+        copy.wait()
+        gcopy.wait()
+
+        slab = slab_vmem[:, :]
+        m = _chunk_math(slab, px, py, chunk)
+
+        suffix_incl = _dot(m["loga"], li, ((1,), (0,)))   # [PIX, chunk]
+        logT_excl = logT_after - suffix_incl
+        gate = m["ok"] & (logT_excl >= LOG_T_EPS)
+        expT = jnp.exp(logT_excl)
+        w = jnp.where(gate, m["alpha"] * expT, 0.0)
+
+        attrs = slab[NG:NG + ca, :]
+        # dL/dw: plain channels + per-instance wsum grads (+ vertex below)
+        dw = _dot(g_plain, attrs, ((1,), (0,)))           # [PIX, chunk]
+        dw += grow_vmem[:, :]                             # broadcast [1,chunk]
+
+        # ---- vertex path ----
+        d_du0 = jnp.zeros_like(w)
+        d_du1 = jnp.zeros_like(w)
+        d_lamx_row = jnp.zeros((1, chunk), jnp.float32)
+        d_lamy_row = jnp.zeros((1, chunk), jnp.float32)
+        if cv:
+            u, v = m["u"], m["v"]
+            mv = [None] * 4
+            for vtx in range(4):
+                va = slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+                mv[vtx] = _dot(g_vf, va, ((1,), (0,)))    # [PIX, chunk]
+            wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
+            dw += sum(wv[k] * mv[k] for k in range(4))
+            d_u = w * ((1 - v) * (mv[1] - mv[0]) + v * (mv[3] - mv[2]))
+            d_v = w * ((1 - u) * (mv[2] - mv[0]) + u * (mv[3] - mv[1]))
+            int_u = ((m["u_raw"] > 0.001) & (m["u_raw"] < 0.999)).astype(
+                jnp.float32)
+            int_v = ((m["v_raw"] > 0.001) & (m["v_raw"] < 0.999)).astype(
+                jnp.float32)
+            d_u *= int_u
+            d_v *= int_v
+            d_du0 = d_u * 0.5 / m["uv_max_x"]
+            d_du1 = d_v * 0.5 / m["uv_max_y"]
+            d_uvmx = d_u * (-m["du0"] / (m["uv_max_x"] * m["uv_max_x"])) * 0.5
+            d_uvmy = d_v * (-m["du1"] / (m["uv_max_y"] * m["uv_max_y"])) * 0.5
+            d_lamx_row = 0.5 * jnp.sum(d_uvmx, axis=0, keepdims=True)
+            d_lamy_row = 0.5 * jnp.sum(d_uvmy, axis=0, keepdims=True)
+
+        # ---- alpha chain ----
+        s_term = dw * w                                   # dL/dlogT_excl_j
+        d_loga = _dot(s_term, sl, ((1,), (0,))) + suf     # [PIX, chunk]
+        not_clamped = (m["alpha"] < ALPHA_MAX).astype(jnp.float32)
+        okf = m["ok"].astype(jnp.float32)
+        d_alpha = jnp.where(gate, dw * expT, 0.0)
+        d_alpha += d_loga * (-1.0 / (1.0 - m["alpha"])) * okf
+        d_opac_row = jnp.sum(d_alpha * jnp.exp(m["power"]) * not_clamped,
+                             axis=0, keepdims=True)
+        d_power = d_alpha * m["alpha"] * not_clamped
+
+        dx, dy = m["dx"], m["dy"]
+        d_cx_row = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+        d_cy_row = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+        d_cz_row = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+
+        cx, cy, cz = slab[2:3, :], slab[3:4, :], slab[4:5, :]
+        d_dx = d_power * (-cx * dx - cy * dy) + d_du0 * slab[6:7, :] \
+            + d_du1 * slab[8:9, :]
+        d_dy = d_power * (-cz * dy - cy * dx) + d_du0 * slab[7:8, :] \
+            + d_du1 * slab[9:10, :]
+
+        d_j0 = jnp.sum(d_du0 * dx, axis=0, keepdims=True)
+        d_j1 = jnp.sum(d_du0 * dy, axis=0, keepdims=True)
+        d_j2 = jnp.sum(d_du1 * dx, axis=0, keepdims=True)
+        d_j3 = jnp.sum(d_du1 * dy, axis=0, keepdims=True)
+
+        # ---- write d_slab chunk ----
+        dslab_vmem[0:1, :] = jnp.sum(d_dx, axis=0, keepdims=True)
+        dslab_vmem[1:2, :] = jnp.sum(d_dy, axis=0, keepdims=True)
+        dslab_vmem[2:3, :] = d_cx_row
+        dslab_vmem[3:4, :] = d_cy_row
+        dslab_vmem[4:5, :] = d_cz_row
+        dslab_vmem[5:6, :] = d_opac_row
+        dslab_vmem[6:7, :] = d_j0
+        dslab_vmem[7:8, :] = d_j1
+        dslab_vmem[8:9, :] = d_j2
+        dslab_vmem[9:10, :] = d_j3
+        dslab_vmem[10:11, :] = d_lamx_row
+        dslab_vmem[11:12, :] = d_lamy_row
+        dslab_vmem[NG:NG + ca, :] = _dot(g_plain, w, ((0,), (0,)))
+        if cv:
+            u, v = m["u"], m["v"]
+            wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
+            for vtx in range(4):
+                dslab_vmem[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :] = \
+                    _dot(g_vf, w * wv[vtx], ((0,), (0,)))
+
+        dcopy = pltpu.make_async_copy(
+            dslab_vmem, dslab_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)],
+            d_sem)
+        dcopy.start()
+        dcopy.wait()
+
+        new_logT = logT_after - jnp.sum(m["loga"], axis=1, keepdims=True)
+        new_suf = suf + jnp.sum(s_term, axis=1, keepdims=True)
+        return (new_logT, new_suf)
+
+    logT_final = logt_ref[0, :, 0:1]
+    jax.lax.fori_loop(0, nchunks, body, (logT_final, g_logt))
+
+
+def blend_backward(slab: jax.Array, tile_start: jax.Array,
+                   tile_count: jax.Array, g_out: jax.Array,
+                   logt_final: jax.Array, g_wsum: jax.Array, *,
+                   ca: int, cv: int, num_tiles: int, grid_x: int,
+                   tile: int = 16, chunk: int = 128,
+                   interpret: bool = False) -> jax.Array:
+    """Returns d_slab [KR, M] (zeros at padding columns by construction)."""
+    kr, m = slab.shape
+    kernel = functools.partial(_bwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
+                               grid_x=grid_x, tile=tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                 # slab
+            pl.BlockSpec((1, PIX, ca + cv + 2), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                # g_out
+            pl.BlockSpec((1, PIX, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                # logT final
+            pl.BlockSpec(memory_space=pl.ANY),                 # g_wsum
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),           # d_slab
+        scratch_shapes=[
+            pltpu.VMEM((kr, chunk), jnp.float32),
+            pltpu.VMEM((1, chunk), jnp.float32),
+            pltpu.VMEM((kr, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    d_slab = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((kr, m), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tile_start, tile_count, slab, g_out, logt_final, g_wsum)
+    return d_slab

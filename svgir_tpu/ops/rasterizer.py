@@ -1,0 +1,202 @@
+"""Public rasterizer API: preprocess -> binning -> Pallas blend -> assembly.
+
+This is the TPU-native equivalent of the reference's
+``GaussianRasterizer.forward`` + ``_RasterizeGaussians`` autograd.Function
+(``gaussian_renderer/svgss_rasterization.py:90-310``): a differentiable pure
+function from per-Gaussian parameters to image-space buffers.  The
+``jax.custom_vjp`` boundary wraps only the Pallas blend; projection,
+covariance, shading-feature packing and final image assembly are plain JAX
+and differentiate automatically (replacing the hand-derived cov2D/SH
+backward chains of backward.cu:163-526 with autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from svgir_tpu.config import RasterConfig
+from svgir_tpu.ops import blend_pallas, common
+from svgir_tpu.ops.binning import bin_instances, pad_to_chunks
+from svgir_tpu.ops.dense_ref import RenderBuffers
+from svgir_tpu.ops.preprocess import Preprocessed, preprocess
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret):
+    kw = dict(ca=ca, cv=cv, num_tiles=num_tiles, grid_x=grid_x, tile=tile,
+              chunk=chunk, interpret=interpret)
+
+    @jax.custom_vjp
+    def blend(slab, tile_start, tile_count, inst_valid):
+        out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
+                                               **kw)
+        return out, jnp.where(inst_valid[None, :], wsum, 0.0)
+
+    def blend_fwd(slab, tile_start, tile_count, inst_valid):
+        out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
+                                               **kw)
+        wsum = jnp.where(inst_valid[None, :], wsum, 0.0)
+        logt = out[..., ca + cv:ca + cv + 1]
+        return (out, wsum), (slab, tile_start, tile_count, inst_valid, logt)
+
+    def blend_bwd(res, cotangents):
+        slab, tile_start, tile_count, inst_valid, logt = res
+        g_out, g_wsum = cotangents
+        g_wsum = jnp.where(inst_valid[None, :], g_wsum, 0.0)
+        d_slab = blend_pallas.blend_backward(
+            slab, tile_start, tile_count, g_out, logt, g_wsum, **kw)
+        d_slab = jnp.where(inst_valid[None, :], d_slab, 0.0)
+        return d_slab, None, None, None
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend
+
+
+def _pack_slab(prep: Preprocessed, opacity: jax.Array,
+               features: Optional[jax.Array],
+               vfeatures: Optional[jax.Array],
+               cfg: RasterConfig) -> tuple[jax.Array, int, int]:
+    """Per-Gaussian slab [KR, N]: geometry rows + plain channels + vertex
+    channels (see blend_pallas module docstring for the row layout).
+
+    The per-pixel depth correction (forward.cu:563-576 depth_differencing)
+    is affine in the pixel: depth_px = adepth + px*c1 + py*c2 with
+    c1 = j0*u0z + j2*u1z, c2 = j1*u0z + j3*u1z — folded into three plain
+    channels so depth blending rides the same MXU matmul.
+    """
+    n = prep.mean2d.shape[0]
+    x, y = prep.mean2d[:, 0], prep.mean2d[:, 1]
+    j = prep.jinv
+    if cfg.surface and cfg.per_pixel_depth:
+        c1 = j[:, 0] * j[:, 6] + j[:, 2] * j[:, 9]
+        c2 = j[:, 1] * j[:, 6] + j[:, 3] * j[:, 9]
+    else:
+        c1 = jnp.zeros_like(x)
+        c2 = jnp.zeros_like(x)
+    adepth = prep.depth - x * c1 - y * c2
+
+    geom = jnp.stack([x, y, prep.conic[:, 0], prep.conic[:, 1],
+                      prep.conic[:, 2], opacity,
+                      j[:, 0], j[:, 1], j[:, 2], j[:, 3],
+                      prep.lam[:, 0], prep.lam[:, 1]], axis=0)     # [12, N]
+
+    plain = [prep.rgb.T, prep.normal_view.T,
+             adepth[None], c1[None], c2[None]]
+    if features is not None:
+        plain.append(features.T)
+    plain = jnp.concatenate(plain, axis=0)                         # [CA, N]
+    ca = plain.shape[0]
+
+    if vfeatures is not None:
+        vs = vfeatures.shape[1]
+        cv = vs // 4
+        # channel-major storage [c0v0 c0v1 c0v2 c0v3 c1v0 ...]
+        # (gaussian_model.py:287-295) -> v-major rows [v*CV + c].
+        vmat = vfeatures.reshape(n, cv, 4)                         # [N, CV, 4]
+        vrows = jnp.transpose(vmat, (2, 1, 0)).reshape(4 * cv, n)
+    else:
+        cv = 0
+        vrows = jnp.zeros((0, n))
+
+    slab = jnp.concatenate([geom, plain, vrows], axis=0)
+    # pad rows to the f32 sublane tiling (8) so chunk DMAs slice aligned
+    kr = slab.shape[0]
+    pad = (-kr) % 8
+    if pad:
+        slab = jnp.concatenate([slab, jnp.zeros((pad, n), slab.dtype)], axis=0)
+    return slab, ca, cv
+
+
+def rasterize(
+    means3d: jax.Array,
+    scales: jax.Array,
+    quats: jax.Array,
+    opacity: jax.Array,            # [N] activated
+    camera,
+    bg: jax.Array,
+    *,
+    shs: Optional[jax.Array] = None,
+    sh_degree: int = 3,
+    colors: Optional[jax.Array] = None,
+    features: Optional[jax.Array] = None,
+    vfeatures: Optional[jax.Array] = None,
+    mean2d_offset: Optional[jax.Array] = None,
+    scale_modifier: float = 1.0,
+    cfg: RasterConfig = RasterConfig(),
+    interpret: Optional[bool] = None,
+) -> RenderBuffers:
+    """Differentiable surfel rasterization for one camera.
+
+    ``mean2d_offset`` ([N, 2], zeros) exists so callers can take gradients
+    w.r.t. screen-space positions for densification statistics — the JAX
+    equivalent of the reference's ``screenspace_points`` dummy tensor
+    (svgss.py:21-25).
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    width, height = camera.width, camera.height
+    tile = cfg.tile
+    grid_x = -(-width // tile)
+    grid_y = -(-height // tile)
+    num_tiles = grid_x * grid_y
+
+    prep = preprocess(
+        means3d, scales, quats, camera.world_view, camera.full_proj,
+        camera.camera_center, width=width, height=height,
+        tanfovx=camera.tanfovx, tanfovy=camera.tanfovy,
+        focal_x=camera.focal_x, focal_y=camera.focal_y,
+        shs=shs, sh_degree=sh_degree, colors=colors,
+        scale_modifier=scale_modifier, cfg=cfg)
+    if mean2d_offset is not None:
+        prep = prep._replace(mean2d=prep.mean2d + mean2d_offset)
+
+    binned = bin_instances(prep, width=width, height=height, cfg=cfg)
+    padded = pad_to_chunks(binned, chunk=cfg.chunk,
+                           max_instances=cfg.max_instances)
+
+    slab_g, ca, cv = _pack_slab(prep, opacity, features, vfeatures, cfg)
+    gid = jnp.clip(padded.gaussian_id, 0, means3d.shape[0] - 1)
+    slab = jnp.where(padded.inst_valid[None, :], slab_g[:, gid], 0.0)
+
+    blend = _make_blend(ca, cv, num_tiles, grid_x, tile, cfg.chunk, interpret)
+    out, wsum = blend(slab, padded.tile_start, padded.tile_count,
+                      padded.inst_valid)
+
+    # ---- per-gaussian weight sums (out_weights, forward.cu:653) ----------
+    weights = jax.ops.segment_sum(wsum[0], gid, num_segments=means3d.shape[0])
+
+    # ---- assemble tile blocks into images --------------------------------
+    co = ca + cv + 2
+    img = out.reshape(grid_y, grid_x, tile, tile, co)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(co, grid_y * tile,
+                                               grid_x * tile)
+    img = img[:, :height, :width]
+
+    s = 0 if features is None else features.shape[1]
+    color_raw = img[0:3]
+    normal = img[3:6]
+    adepth, c1img, c2img = img[6], img[7], img[8]
+    feat = img[9:9 + s]
+    vfeat = img[ca:ca + cv]
+    logT = img[ca + cv]
+    n_contrib = img[ca + cv + 1].astype(jnp.int32)
+
+    vv, uu = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32), indexing="ij")
+    D = adepth + uu * c1img + vv * c2img
+    T = jnp.minimum(1.0 - 1e-6, jnp.exp(logT))
+    color = color_raw + T[None] * bg[:, None, None]
+    depth = common.finalize_depth(D, T, cfg.normalize_depth)[None]
+
+    return RenderBuffers(
+        color=color, normal=normal, depth=depth, opacity=(1.0 - T)[None],
+        feature=feat, vfeature=vfeat, final_t=T, n_contrib=n_contrib,
+        weights=weights[:, None])
