@@ -31,6 +31,7 @@ class RenderBuffers(NamedTuple):
     final_t: jax.Array    # [H, W]
     n_contrib: jax.Array  # [H, W] int32
     weights: jax.Array    # [N, 1] per-gaussian blended weight sums
+    radii: jax.Array      # [N] int32 screen radii (0 = culled)
 
 
 def render_dense(
@@ -121,4 +122,4 @@ def render_dense(
     return RenderBuffers(
         color=color, normal=acc_n, depth=depth, opacity=(1.0 - T)[None],
         feature=acc_f, vfeature=acc_vf, final_t=T, n_contrib=n_contrib,
-        weights=weights)
+        weights=weights, radii=prep.radius)

@@ -129,6 +129,7 @@ def rasterize(
     features: Optional[jax.Array] = None,
     vfeatures: Optional[jax.Array] = None,
     mean2d_offset: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
     scale_modifier: float = 1.0,
     cfg: RasterConfig = RasterConfig(),
     interpret: Optional[bool] = None,
@@ -155,6 +156,12 @@ def rasterize(
         focal_x=camera.focal_x, focal_y=camera.focal_y,
         shs=shs, sh_degree=sh_degree, colors=colors,
         scale_modifier=scale_modifier, cfg=cfg)
+    if mask is not None:
+        valid = prep.valid & mask
+        prep = prep._replace(
+            valid=valid,
+            radius=jnp.where(valid, prep.radius, 0),
+            tiles_touched=jnp.where(valid, prep.tiles_touched, 0))
     if mean2d_offset is not None:
         prep = prep._replace(mean2d=prep.mean2d + mean2d_offset)
 
@@ -199,4 +206,4 @@ def rasterize(
     return RenderBuffers(
         color=color, normal=normal, depth=depth, opacity=(1.0 - T)[None],
         feature=feat, vfeature=vfeat, final_t=T, n_contrib=n_contrib,
-        weights=weights[:, None])
+        weights=weights[:, None], radii=prep.radius)

@@ -1,0 +1,153 @@
+"""Training loop (stage 1): jitted step + host-side schedule.
+
+Mirrors ``train.py:28-249``: random camera order without replacement,
+exponential xyz LR schedule, densify/prune every ``densification_interval``
+within [densify_from_iter, densify_until_iter), opacity reset every
+``opacity_reset_interval``, periodic checkpoints.  All device work (render,
+loss, backward, Adam, stats) is one jitted function; densification is a
+second jitted function invoked on schedule; capacity-bucket growth happens
+on host and triggers at most a handful of recompiles per run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+import time
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from svgir_tpu.config import ModelConfig, OptimizationConfig, RasterConfig
+from svgir_tpu.models import gaussians as G
+from svgir_tpu.render.stage1 import render_stage1
+from svgir_tpu.train import optim
+from svgir_tpu.utils.transforms import get_expon_lr_fn
+
+
+def strip_meta(camera):
+    """Remove per-camera static metadata so all cameras share one jit cache
+    entry."""
+    return dataclasses.replace(camera, uid=0, image_name="")
+
+
+def make_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
+                    bg, *, sh_degree: int = 3,
+                    render_fn: Callable = render_stage1,
+                    lrs: Optional[Dict[str, float]] = None,
+                    extra_args_fn=None):
+    """Build the jitted stage-1 train step.
+
+    Returns step(state, opt_state, camera, iteration, xyz_lr)
+      -> (state, opt_state, tb_dict)
+    """
+    bg = jnp.asarray(bg)
+
+    @jax.jit
+    def step(state, opt_state, camera, iteration, xyz_lr):
+        params, alive, stats = state["params"], state["alive"], state["stats"]
+        cap = alive.shape[0]
+        off0 = jnp.zeros((cap, 2))
+
+        def loss_fn(p, off):
+            res = render_fn(camera, p, bg, opt=opt, iteration=iteration,
+                            is_training=True, alive=alive, mean2d_offset=off,
+                            sh_degree=sh_degree, mono=camera.mono,
+                            cfg=raster_cfg)
+            return res["loss"], res
+
+        (loss, res), (gp, goff) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, off0)
+
+        step_lrs = {**(lrs or {}), "xyz": xyz_lr}
+        params, opt_state = optim.adam_step(params, gp, opt_state, step_lrs)
+
+        # densification stats: NDC-scale screen gradients (backward.cu:639)
+        gnd = goff * jnp.array([0.5 * camera.width, 0.5 * camera.height])
+        visible = res["visibility_filter"] & alive
+        stats = G.add_densification_stats(
+            stats, gnd, visible, res["weights"],
+            res["radii"].astype(jnp.float32))
+
+        new_state = {"params": params, "alive": alive, "stats": stats}
+        tb = dict(res["tb_dict"])
+        tb["n_visible"] = visible.sum()
+        return new_state, opt_state, tb
+
+    return step
+
+
+def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
+                 bg=(0.0, 0.0, 0.0), raster_cfg: RasterConfig = RasterConfig(),
+                 spatial_lr_scale: float = 1.0, sh_degree: int = 3,
+                 first_iter: int = 0, iterations: Optional[int] = None,
+                 seed: int = 0, log_every: int = 50,
+                 callback=None, use_pbr: bool = False):
+    """Run the stage-1 loop.  Returns (state, opt_state, history)."""
+    iterations = iterations or opt.iterations
+    lrs = optim.group_lrs(opt, spatial_lr_scale, use_pbr)
+    xyz_sched = get_expon_lr_fn(
+        lr_init=opt.position_lr_init * spatial_lr_scale,
+        lr_final=opt.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps)
+
+    opt_state = optim.adam_init(state["params"])
+    step_fn = make_train_step(opt, raster_cfg, bg, sh_degree=sh_degree,
+                              lrs=lrs)
+    densify_fn = jax.jit(
+        partial(G.densify_and_prune,
+                max_grad=opt.densify_grad_threshold, min_opacity=0.005,
+                percent_dense=opt.percent_dense),
+        static_argnames=("max_screen_size",))
+
+    rng = random.Random(seed)
+    key = jax.random.PRNGKey(seed)
+    stack: List[int] = []
+    cams = [strip_meta(c) for c in cameras]
+    extent = spatial_lr_scale  # cameras_extent == spatial_lr_scale (train.py)
+
+    history = []
+    t0 = time.time()
+    for it in range(first_iter + 1, iterations + 1):
+        if not stack:
+            stack = list(range(len(cams)))
+        cam = cams[stack.pop(rng.randrange(len(stack)))]
+        xyz_lr = float(xyz_sched(it))
+
+        state, opt_state, tb = step_fn(state, opt_state, cam,
+                                       jnp.float32(it), jnp.float32(xyz_lr))
+
+        if it < opt.densify_until_iter:
+            n_alive = int(state["alive"].sum())
+            if (it > opt.densify_from_iter
+                    and it % opt.densification_interval == 0
+                    and n_alive < opt.max_points):
+                # grow capacity if nearly full (host-side, rare recompile)
+                cap = state["alive"].shape[0]
+                if n_alive > 0.85 * cap:
+                    state, opt_state = G.grow_capacity(state, opt_state,
+                                                       cap * 2)
+                size_thr = 20.0 if it > opt.opacity_reset_interval else None
+                key, sub = jax.random.split(key)
+                gnorm_thr = (opt.densify_grad_normal_threshold
+                             if it > opt.normal_densify_from_iter else 99999.0)
+                state, opt_state, rep = densify_fn(
+                    state, opt_state, sub, extent=extent,
+                    max_grad_normal=gnorm_thr, max_screen_size=size_thr)
+            if it % opt.opacity_reset_interval == 0:
+                params, opt_state = G.reset_opacity(state["params"], opt_state)
+                state = {**state, "params": params}
+
+        if it % log_every == 0 or it == iterations:
+            entry = {"iter": it, "psnr": float(tb["psnr"]),
+                     "loss": float(tb["loss"]),
+                     "n_alive": int(state["alive"].sum()),
+                     "elapsed": time.time() - t0}
+            history.append(entry)
+            if callback:
+                callback(entry, state)
+
+    return state, opt_state, history
