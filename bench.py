@@ -1,0 +1,102 @@
+"""Benchmark: pixels/s/chip, forward+backward, 800x800, ~50k Gaussians.
+
+Matches BASELINE.json config 1 ("TensoIR lego stage-1, single image fwd+bwd,
+~50k Gaussians, 800x800").  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pixels/s/chip", "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
+computed against REF_PIX_S below — an engineering estimate of the CUDA
+reference on its RTX 3090 (a 3DGS-family fwd+bwd at 800x800 runs ~20-35 ms
+on that card => ~20M px/s) — and should be replaced by a measured value
+when one exists.
+"""
+
+import json
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_PIX_S = 20e6  # provisional reference estimate (see module docstring)
+RES = 800
+N_GAUSS = 50_000
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build():
+    from svgir_tpu.config import OptimizationConfig, RasterConfig
+    from svgir_tpu.models import gaussians as G
+    from svgir_tpu.render.stage1 import render_stage1
+    from svgir_tpu.cameras import look_at_camera
+    from svgir_tpu.utils.transforms import normalize
+
+    cfg = RasterConfig(max_instances=1 << 21, chunk=128)
+    opt = OptimizationConfig()
+
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    # lego-ish object: points in a unit ball shell, outward normals
+    dirs = normalize(jax.random.normal(k[0], (N_GAUSS, 3)))
+    r = 0.7 + 0.3 * jax.random.uniform(k[1], (N_GAUSS, 1))
+    pts = dirs * r
+    cols = jax.random.uniform(k[2], (N_GAUSS, 3))
+    state = G.init_from_points(pts, cols, normals=dirs, capacity=N_GAUSS,
+                               rotation_init="normal")
+
+    cam = look_at_camera(eye=[0.5, 0.4, -2.6], target=[0, 0, 0],
+                         up=[0, -1, 0], fovx=math.pi / 3, fovy=math.pi / 3,
+                         width=RES, height=RES)
+    import dataclasses
+    gt = jax.random.uniform(k[3], (3, RES, RES))
+    cam = dataclasses.replace(cam, image=gt,
+                              image_mask=jnp.ones((1, RES, RES)))
+    bg = jnp.zeros(3)
+
+    def loss_fn(params):
+        res = render_stage1(cam, params, bg, opt=opt, iteration=1000.0,
+                            is_training=True, alive=state["alive"], cfg=cfg)
+        return res["loss"]
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    return step, state["params"]
+
+
+def main():
+    log("devices:", jax.devices())
+    step, params = build()
+
+    t0 = time.time()
+    loss, grads = step(params)
+    jax.block_until_ready(loss)
+    log(f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.4f}")
+
+    # warmup
+    for _ in range(2):
+        loss, grads = step(params)
+    jax.block_until_ready(loss)
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        loss, grads = step(params)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    pix_s = RES * RES / med
+    log(f"median fwd+bwd: {med*1e3:.2f} ms  ({pix_s/1e6:.2f} Mpix/s)")
+
+    print(json.dumps({
+        "metric": "pixels/s/chip fwd+bwd 800x800 ~50k gaussians stage-1",
+        "value": round(pix_s),
+        "unit": "pixels/s/chip",
+        "vs_baseline": round(pix_s / REF_PIX_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

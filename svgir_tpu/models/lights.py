@@ -1,0 +1,133 @@
+"""Light models: learnable environment map + fixed HDR env.
+
+Reference: ``scene/direct_light_map.py`` (DirectLightMap: H x 2H equirect,
+softplus activation, grid_sample(align_corners=True) lookup x 2.0, own Adam,
+upsample-with-optimizer-state) and ``scene/envmap.py`` (EnvLight: fixed HDR
+downsampled to 32x64 for relighting lookups, no x2 factor).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svgir_tpu.train import optim
+
+
+def _bilinear_lookup(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """align_corners=True bilinear sample. img [H, W, C]; u, v in pixel
+    coords ([0, W-1] / [0, H-1]); out [..., C]."""
+    h, w = img.shape[0], img.shape[1]
+    u0 = jnp.clip(jnp.floor(u), 0, w - 1)
+    v0 = jnp.clip(jnp.floor(v), 0, h - 1)
+    u1 = jnp.clip(u0 + 1, 0, w - 1)
+    v1 = jnp.clip(v0 + 1, 0, h - 1)
+    fu = jnp.clip(u - u0, 0.0, 1.0)[..., None]
+    fv = jnp.clip(v - v0, 0.0, 1.0)[..., None]
+    u0i, u1i, v0i, v1i = (x.astype(jnp.int32) for x in (u0, u1, v0, v1))
+    top = img[v0i, u0i] * (1 - fu) + img[v0i, u1i] * fu
+    bot = img[v1i, u0i] * (1 - fu) + img[v1i, u1i] * fu
+    return top * (1 - fv) + bot * fv
+
+
+def _equirect_query(dirs: jax.Array, h: int, w: int):
+    """Reference direct_light mapping (direct_light_map.py:70-83):
+    phi = arccos(z) - 1e-6, theta = atan2(y, x); grid coords
+    qx = -theta/pi, qy = phi/pi*2 - 1 (align_corners)."""
+    z = jnp.clip(dirs[..., 2], -1.0, 1.0)
+    phi = jnp.arccos(z) - 1e-6
+    theta = jnp.arctan2(dirs[..., 1], dirs[..., 0])
+    qx = -theta / math.pi
+    qy = (phi / math.pi) * 2 - 1
+    u = (qx + 1) * 0.5 * (w - 1)
+    v = (qy + 1) * 0.5 * (h - 1)
+    return u, v
+
+
+# ---------------------------------------------------------------------------
+# DirectLightMap — learnable environment
+# ---------------------------------------------------------------------------
+
+def direct_light_map_init(key: jax.Array, h: int = 128,
+                          light_init: float = 0.5) -> Dict:
+    """env ~ light_init * U[0,1), shape [H, 2H, 3]
+    (direct_light_map.py:11-16)."""
+    env = light_init * jax.random.uniform(key, (h, 2 * h, 3))
+    params = {"env": env}
+    return {"params": params, "opt": optim.adam_init(params)}
+
+
+def env_activated(params) -> jax.Array:
+    """softplus activation (direct_light_map.py:103-106): [H, W, 3]."""
+    return jax.nn.softplus(params["env"])
+
+
+def direct_light(params, dirs: jax.Array) -> jax.Array:
+    """Radiance lookup x 2.0 (direct_light_map.py:70-83)."""
+    env = env_activated(params)
+    u, v = _equirect_query(dirs, env.shape[0], env.shape[1])
+    return _bilinear_lookup(env, u, v) * 2.0
+
+
+def direct_light_map_step(state: Dict, grads: Dict, env_lr: float) -> Dict:
+    params, opt_state = optim.adam_step(state["params"], grads, state["opt"],
+                                        {"env": env_lr})
+    return {"params": params, "opt": opt_state}
+
+
+def direct_light_map_upsample(state: Dict) -> Dict:
+    """Bilinear 2x upsample of env AND its Adam moments
+    (direct_light_map.py:85-101)."""
+    def up(x):
+        h, w = x.shape[0], x.shape[1]
+        return jax.image.resize(x, (2 * h, 2 * w, x.shape[2]), "bilinear")
+
+    params = {"env": up(state["params"]["env"])}
+    opt = {
+        "m": {"env": up(state["opt"]["m"]["env"])},
+        "v": {"env": up(state["opt"]["v"]["env"])},
+        "step": state["opt"]["step"],
+    }
+    return {"params": params, "opt": opt}
+
+
+# ---------------------------------------------------------------------------
+# EnvLight — fixed HDR environment (relighting)
+# ---------------------------------------------------------------------------
+
+def load_hdr(path: str) -> np.ndarray:
+    """Load .hdr/.exr/.png as linear float RGB [H, W, 3] (envmap.py:37-62)."""
+    import imageio.v2 as imageio
+    img = np.asarray(imageio.imread(path)).astype(np.float32)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    img = img[..., :3]
+    if path.lower().endswith(".png"):
+        img = img / 255.0 if img.max() > 1.5 else img
+        from svgir_tpu.utils.graphics import srgb_to_rgb
+        img = np.asarray(srgb_to_rgb(jnp.asarray(img)))
+    return img
+
+
+def env_light_init(envmap: np.ndarray, scale: float = 1.0,
+                   lookup_res: Tuple[int, int] = (32, 64),
+                   transform: Optional[np.ndarray] = None) -> Dict:
+    """Fixed HDR light.  Keeps the full map plus a downsampled lookup copy
+    (envmap.py:63-71; 32x64 is the relighting-eval resolution)."""
+    full = jnp.asarray(envmap) * scale
+    small = jax.image.resize(full, (*lookup_res, 3), "linear")
+    return {"envmap": full, "lookup": small,
+            "transform": None if transform is None else jnp.asarray(transform)}
+
+
+def env_light_direct(state: Dict, dirs: jax.Array) -> jax.Array:
+    """Lookup in the downsampled map; NO x2 factor (envmap.py)."""
+    if state.get("transform") is not None:
+        dirs = dirs @ state["transform"].T
+    env = state["lookup"]
+    u, v = _equirect_query(dirs, env.shape[0], env.shape[1])
+    return _bilinear_lookup(env, u, v)

@@ -238,7 +238,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, logt_ref,
     li = _tri_lower_incl(chunk)
 
     g_plain = gout_ref[0, :, 0:ca]                       # [PIX, CA]
-    g_vf = gout_ref[0, :, ca:ca + cv]
+    g_vf = gout_ref[0, :, ca:ca + cv] if cv else None
     g_logt = gout_ref[0, :, ca + cv:ca + cv + 1]         # [PIX, 1]
 
     def body(i, carry):

@@ -1,0 +1,113 @@
+"""Multi-device training step: data parallelism over cameras.
+
+The reference is strictly single-GPU (SURVEY.md §2.3); this layer is new.
+Design (scaling-book style): pick a mesh, shard the *view* batch over the
+``data`` axis with parameters replicated, compute per-view gradients locally
+(each device runs the full rasterizer for its own camera — splat work is
+embarrassingly parallel across views), then ``psum`` gradients over ICI and
+apply a replicated Adam step.  The gaussian-axis ("tensor") sharding of
+preprocess/shading and tile-axis ("spatial") sharding of the blend kernel
+compose on top of this (see parallel/gshard.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from svgir_tpu.config import OptimizationConfig, RasterConfig
+from svgir_tpu.models import gaussians as G
+from svgir_tpu.render.stage1 import render_stage1
+from svgir_tpu.train import optim
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return jax.make_mesh((len(devs),), (axis,), devices=devs)
+
+
+def stack_cameras(cameras: List):
+    """Stack per-camera arrays into leading-batch leaves (statics must
+    match across the batch)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
+
+
+def index_camera(batched, i):
+    return jax.tree.map(lambda x: x[i], batched)
+
+
+def make_dp_train_step(mesh: Mesh, opt: OptimizationConfig,
+                       raster_cfg: RasterConfig, bg, *, sh_degree: int = 3,
+                       lrs: Optional[Dict[str, float]] = None,
+                       render_fn=render_stage1):
+    """Build a jitted DP train step.
+
+    step(state, opt_state, cam_batch, iteration, xyz_lr) where ``cam_batch``
+    holds one camera per device (leading dim == mesh size).  Per-view loss
+    and gradients are computed locally; gradients and scalars are psum'd
+    over the ``data`` axis (mean), densification stats are summed — the
+    multi-view generalization of the reference's one-view-per-iteration
+    loop (train.py:108-246).
+    """
+    bg = jnp.asarray(bg)
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+
+    def per_device(params, alive, stats, cam_batch, iteration, xyz_lr,
+                   opt_state):
+        cam = index_camera(cam_batch, 0)   # local batch of 1
+        cap = alive.shape[0]
+
+        def loss_fn(p, off):
+            res = render_fn(cam, p, bg, opt=opt, iteration=iteration,
+                            is_training=True, alive=alive, mean2d_offset=off,
+                            sh_degree=sh_degree, mono=cam.mono, cfg=raster_cfg)
+            return res["loss"], res
+
+        (loss, res), (gp, goff) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params,
+                                                   jnp.zeros((cap, 2)))
+        # gradient all-reduce over ICI (mean over views)
+        gp = jax.lax.pmean(gp, axis)
+        loss = jax.lax.pmean(loss, axis)
+
+        step_lrs = {**(lrs or {}), "xyz": xyz_lr}
+        params, opt_state = optim.adam_step(params, gp, opt_state, step_lrs)
+
+        gnd = goff * jnp.array([0.5 * cam.width, 0.5 * cam.height])
+        visible = res["visibility_filter"] & alive
+        # per-view stat deltas summed over the data axis, then applied once
+        delta = G.add_densification_stats(
+            G.init_stats(cap), gnd, visible, res["weights"],
+            res["radii"].astype(jnp.float32))
+        delta = jax.tree.map(lambda x: jax.lax.psum(x, axis), delta)
+        stats = {
+            **{k: stats[k] + delta[k] for k in
+               ("xyz_gradient_accum", "normal_gradient_accum", "denom",
+                "weights_accum")},
+            "max_radii2d": jnp.maximum(stats["max_radii2d"],
+                                       delta["max_radii2d"]),
+        }
+        psnr = jax.lax.pmean(res["tb_dict"]["psnr"], axis)
+        return params, opt_state, stats, loss, psnr
+
+    @jax.jit
+    def step(state, opt_state, cam_batch, iteration, xyz_lr):
+        params, alive, stats = state["params"], state["alive"], state["stats"]
+        fn = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False)
+        params, opt_state, stats, loss, psnr = fn(
+            params, alive, stats, cam_batch, iteration, xyz_lr, opt_state)
+        new_state = {"params": params, "alive": alive, "stats": stats}
+        return new_state, opt_state, {"loss": loss, "psnr": psnr}
+
+    return step

@@ -1,0 +1,136 @@
+"""Shading parity: JAX rendering_equation4/GGX vs the reference's torch
+implementation, executed directly from the reference source (AST-extracted,
+CPU torch) — a true oracle, not a re-derivation."""
+
+import ast
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svgir_tpu.ops import shading
+
+REF = "/root/reference/gaussian_renderer/svgss.py"
+
+
+def _load_reference_fns():
+    """Exec only rendering_equation4 + GGX_specular4 from the reference file
+    (its module-level imports need CUDA; the two functions only need
+    torch/np/F)."""
+    import torch
+    import torch.nn.functional as F
+
+    tree = ast.parse(open(REF).read())
+    wanted = {"rendering_equation4", "GGX_specular4"}
+    mod = ast.Module(
+        body=[n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name in wanted],
+        type_ignores=[])
+    ns = {"torch": torch, "np": np, "F": F}
+    exec(compile(mod, REF, "exec"), ns)
+    return ns["rendering_equation4"], ns["GGX_specular4"]
+
+
+class _MockEnv:
+    """Deterministic direction-dependent light for both frameworks."""
+
+    def direct_light(self, dirs):
+        # works for torch and jax alike: 30*(d+1) gives values that exercise
+        # the [0, 64] clamp
+        return 30.0 * (dirs + 1.0)
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_rendering_equation4_matches_reference():
+    import torch
+
+    ref_eq4, _ = _load_reference_fns()
+
+    n, s = 17, 8
+    rng = np.random.default_rng(0)
+    base_color = rng.uniform(0.1, 0.8, (n, 12)).astype(np.float32)
+    roughness = rng.uniform(0.1, 0.99, (n, 4)).astype(np.float32)
+    normals = rng.normal(size=(n, 4, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    viewdirs = rng.normal(size=(n, 3)).astype(np.float32)
+    viewdirs /= np.linalg.norm(viewdirs, axis=-1, keepdims=True)
+    radiance = rng.uniform(0, 2, (n, s, 3)).astype(np.float32)
+    visibility = rng.uniform(0, 1, (n, s, 1)).astype(np.float32)
+    inc_dirs = rng.normal(size=(n, s, 3)).astype(np.float32)
+    inc_dirs /= np.linalg.norm(inc_dirs, axis=-1, keepdims=True)
+    inc_areas = np.full((n, s, 1), 2 * math.pi, np.float32)
+
+    t = torch.from_numpy
+    ref_pbr, ref_extra = ref_eq4(
+        t(base_color), t(roughness), t(normals), t(viewdirs), t(radiance),
+        _MockEnv(), visibility_precompute=t(visibility),
+        incident_dirs_precompute=t(inc_dirs),
+        incident_areas_precompute=t(inc_areas))
+
+    jx_pbr, jx_extra = shading.rendering_equation4(
+        jnp.asarray(base_color), jnp.asarray(roughness), jnp.asarray(normals),
+        jnp.asarray(viewdirs), jnp.asarray(radiance),
+        _MockEnv().direct_light, jnp.asarray(visibility),
+        jnp.asarray(inc_dirs), jnp.asarray(inc_areas))
+
+    np.testing.assert_allclose(np.asarray(jx_pbr), ref_pbr.numpy(),
+                               rtol=2e-5, atol=2e-5)
+    for key in ["diffuse_light", "specular", "direct", "indirect"]:
+        np.testing.assert_allclose(np.asarray(jx_extra[key]),
+                                   ref_extra[key].numpy(), rtol=2e-5,
+                                   atol=2e-5, err_msg=key)
+
+
+def test_lights_roundtrip():
+    """DirectLightMap lookup: constant env returns softplus(c)*2 everywhere;
+    z-axis query hits the top row."""
+    from svgir_tpu.models import lights as LT
+
+    state = LT.direct_light_map_init(jax.random.PRNGKey(0), h=16,
+                                     light_init=3.0)
+    const = {"env": jnp.full((16, 32, 3), 0.7)}
+    dirs = jnp.asarray(np.random.default_rng(1).normal(size=(40, 3)),
+                       jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    out = LT.direct_light(const, dirs)
+    expected = float(jax.nn.softplus(0.7)) * 2.0
+    np.testing.assert_allclose(out, np.full((40, 3), expected), atol=1e-5)
+
+    # gradient flows to env through lookup
+    g = jax.grad(lambda p: LT.direct_light(p, dirs).sum())(state["params"])
+    assert float(jnp.abs(g["env"]).sum()) > 0
+
+    # upsample doubles resolution and keeps values (bilinear)
+    up = LT.direct_light_map_upsample(state)
+    assert up["params"]["env"].shape == (32, 64, 3)
+
+
+def test_direct_light_matches_torch_grid_sample():
+    """Equirect lookup parity vs torch grid_sample(align_corners=True)."""
+    import torch
+    import torch.nn.functional as F
+    from svgir_tpu.models import lights as LT
+
+    rng = np.random.default_rng(2)
+    env_raw = rng.normal(size=(8, 16, 3)).astype(np.float32)
+    dirs = rng.normal(size=(100, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    ours = LT.direct_light({"env": jnp.asarray(env_raw)}, jnp.asarray(dirs))
+
+    # reference direct_light (direct_light_map.py:70-83)
+    env = F.softplus(torch.from_numpy(env_raw))[None].permute(0, 3, 1, 2)
+    d = torch.from_numpy(dirs)
+    phi = torch.arccos(d[:, 2]).reshape(-1) - 1e-6
+    theta = torch.atan2(d[:, 1], d[:, 0]).reshape(-1)
+    query_y = (phi / math.pi) * 2 - 1
+    query_x = -theta / math.pi
+    grid = torch.stack((query_x, query_y)).permute(1, 0)[None, None]
+    ref = F.grid_sample(env, grid, align_corners=True).squeeze().permute(1, 0)
+    ref = ref.reshape(-1, 3) * 2.0
+
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-5,
+                               atol=1e-5)
