@@ -17,6 +17,8 @@ import sys
 import time
 
 import jax
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
 import jax.numpy as jnp
 
 REF_PIX_S = 20e6  # provisional reference estimate (see module docstring)
@@ -35,7 +37,7 @@ def build():
     from svgir_tpu.cameras import look_at_camera
     from svgir_tpu.utils.transforms import normalize
 
-    cfg = RasterConfig(max_instances=1 << 21, chunk=128)
+    cfg = RasterConfig(max_instances=1 << 20, chunk=128)
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 4)

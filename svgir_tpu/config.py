@@ -138,6 +138,8 @@ class RasterConfig:
     tile: int = 16                 # BLOCK_X/BLOCK_Y, svgss config.h
     max_instances: int = 1 << 21   # padded (tile,depth)-sorted instance buffer
     chunk: int = 128               # blend kernel: splats staged per inner step
+    binner: str = "counting"       # "counting" (sort-free) or "sort"
+    rect_cap: int = 32             # counting binner: max tiles per gaussian
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,244 @@
+"""Dataset readers + Scene container.
+
+Replaces ``scene/dataset_readers.py`` + ``scene/__init__.py``: loaders for
+Blender/TensoIR (transforms_*.json, alpha-premultiplied over bg, optional
+monocular-normal .npy priors), Synthetic4Relight, and COLMAP; nerf++
+normalization radius (cameras_extent); random point-cloud init for synthetic
+scenes.  Cameras are materialized as svgir_tpu Camera pytrees (host numpy
+until training moves them on-device).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from svgir_tpu.cameras import Camera, make_camera
+from svgir_tpu.data import colmap as CM
+from svgir_tpu.data.ply import fetch_pointcloud, store_pointcloud
+from svgir_tpu.utils.graphics import focal2fov, fov2focal
+
+
+@dataclass
+class SceneData:
+    train_cameras: List[Camera]
+    test_cameras: List[Camera]
+    points: np.ndarray
+    colors: np.ndarray
+    normals: np.ndarray
+    cameras_extent: float
+    ply_path: str = ""
+
+
+def _nerfpp_radius(w2cs: List[np.ndarray]) -> float:
+    """getNerfppNorm (dataset_readers.py:46-67): 1.1 x max distance of
+    camera centers from their mean."""
+    centers = np.stack([np.linalg.inv(m)[:3, 3] for m in w2cs])
+    center = centers.mean(axis=0)
+    return float(np.linalg.norm(centers - center, axis=1).max() * 1.1)
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """scene/utils.py:40-50: EXR stays linear->srgb'd; LDR divided by 255."""
+    import imageio.v2 as imageio
+    if path.endswith(".exr"):
+        import cv2
+        os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+        from svgir_tpu.utils.graphics import rgb_to_srgb
+        import jax.numpy as jnp
+        img[..., :3] = np.asarray(rgb_to_srgb(jnp.asarray(img[..., :3]),
+                                              clip=False))
+        return img
+    img = np.asarray(imageio.imread(path)).astype(np.float32) / 255.0
+    return img
+
+
+def _resolve_resolution(w: int, h: int, resolution: int) -> tuple[int, int]:
+    """camera_utils.py:13-34: -1 caps width at 1600; 1/2/4/8 divide."""
+    if resolution in (1, 2, 4, 8):
+        return w // resolution, h // resolution
+    if resolution == -1:
+        if w > 1600:
+            scale = w / 1600
+            return int(w / scale), int(h / scale)
+        return w, h
+    scale = w / resolution
+    return int(w / scale), int(h / scale)
+
+
+def _maybe_resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    if img.shape[1] == w and img.shape[0] == h:
+        return img
+    import cv2
+    return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+
+
+def read_blender_cameras(path: str, transforms_file: str,
+                         white_background: bool, extension: str = ".png",
+                         resolution: int = -1,
+                         max_cameras: Optional[int] = None) -> List[Camera]:
+    """readCamerasFromTransforms (dataset_readers.py:226-307)."""
+    cams = []
+    with open(os.path.join(path, transforms_file)) as f:
+        contents = json.load(f)
+    fovx = contents["camera_angle_x"]
+    bg = np.array([1.0, 1, 1]) if white_background else np.array([0.0, 0, 0])
+
+    for idx, frame in enumerate(contents["frames"]):
+        if max_cameras is not None and idx >= max_cameras:
+            break
+        fp = frame["file_path"]
+        image_path = os.path.join(path, fp + extension) \
+            if not fp.endswith(extension) else os.path.join(path, fp)
+        image_name = Path(image_path).stem
+
+        c2w = np.array(frame["transform_matrix"])
+        c2w[:3, 1:3] *= -1     # OpenGL/Blender -> COLMAP axes
+        w2c = np.linalg.inv(c2w)
+        R = w2c[:3, :3].T      # cam->world rotation (reference convention)
+        T = w2c[:3, 3]
+
+        img = load_image_rgb(image_path)
+        mask = np.ones_like(img[..., 0])
+        if img.shape[-1] == 4:
+            mask = img[..., 3]
+            img = img[..., :3] * img[..., 3:4] + bg * (1 - img[..., 3:4])
+
+        mono = None
+        for cand in (image_path.replace(image_name, "normal")
+                     .rsplit(".", 1)[0] + ".npy",
+                     image_path.replace(image_name, image_name + "_normal")
+                     .rsplit(".", 1)[0] + ".npy"):
+            if os.path.exists(cand):
+                mono_n = np.load(cand)
+                if mono_n.ndim == 3 and mono_n.shape[0] not in (3, 4):
+                    mono_n = mono_n.transpose(2, 0, 1)
+                mono = np.concatenate(
+                    [mono_n[:3], np.zeros_like(mono_n[:1])], axis=0)
+                break
+
+        h0, w0 = img.shape[:2]
+        w, h = _resolve_resolution(w0, h0, resolution)
+        img = _maybe_resize(img, w, h)
+        mask = _maybe_resize(mask, w, h)
+        fovy = focal2fov(fov2focal(fovx, w), h)
+        cams.append(make_camera(
+            R, T, fovx, fovy, w, h,
+            image=np.clip(img, 0, 1).transpose(2, 0, 1).astype(np.float32),
+            image_mask=mask[None].astype(np.float32),
+            mono=None if mono is None else mono.astype(np.float32),
+            uid=idx, image_name=image_name))
+    return cams
+
+
+def read_blender_scene(path: str, white_background: bool = False,
+                       eval_split: bool = True, extension: str = ".png",
+                       resolution: int = -1,
+                       max_cameras: Optional[int] = None) -> SceneData:
+    """readNerfSyntheticInfo (dataset_readers.py:307-345), which also covers
+    TensoIR-format scenes."""
+    train = read_blender_cameras(path, "transforms_train.json",
+                                 white_background, extension, resolution,
+                                 max_cameras)
+    test = []
+    if eval_split and os.path.exists(os.path.join(path,
+                                                  "transforms_test.json")):
+        test = read_blender_cameras(path, "transforms_test.json",
+                                    white_background, extension, resolution,
+                                    max_cameras)
+
+    ply_path = os.path.join(path, "points3d.ply")
+    if not os.path.exists(ply_path):
+        num_pts = 100_000
+        rng = np.random.default_rng(0)
+        xyz = rng.random((num_pts, 3)) * 2.6 - 1.3
+        shs = rng.random((num_pts, 3)) / 255.0
+        normals = rng.standard_normal((num_pts, 3))
+        normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+        from svgir_tpu.utils.sh import C0
+        rgb = (shs * C0 + 0.5) * 255
+        try:
+            store_pointcloud(ply_path, xyz, rgb, normals)
+        except OSError:
+            pass
+        pts, cols, nrms = (xyz.astype(np.float32),
+                           (shs * C0 + 0.5).astype(np.float32),
+                           normals.astype(np.float32))
+    else:
+        pts, cols, nrms = fetch_pointcloud(ply_path)
+
+    extent = _nerfpp_radius(
+        [np.asarray(c.world_view) for c in train])
+    return SceneData(train, test, pts, cols, nrms, extent, ply_path)
+
+
+def read_colmap_scene(path: str, images_dir: str = "images",
+                      eval_split: bool = False, llffhold: int = 8,
+                      resolution: int = -1,
+                      max_cameras: Optional[int] = None) -> SceneData:
+    """readColmapSceneInfo (dataset_readers.py:165-225)."""
+    sparse = os.path.join(path, "sparse", "0")
+    if os.path.exists(os.path.join(sparse, "images.bin")):
+        images = CM.read_images_binary(os.path.join(sparse, "images.bin"))
+        cameras = CM.read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+        xyz, rgb = CM.read_points3d_binary(
+            os.path.join(sparse, "points3D.bin"))
+    else:
+        images = CM.read_images_text(os.path.join(sparse, "images.txt"))
+        cameras = CM.read_cameras_text(os.path.join(sparse, "cameras.txt"))
+        xyz, rgb = CM.read_points3d_text(os.path.join(sparse, "points3D.txt"))
+
+    cams = []
+    for idx, (iid, im) in enumerate(sorted(images.items(),
+                                           key=lambda kv: kv[1].name)):
+        if max_cameras is not None and idx >= max_cameras:
+            break
+        cam = cameras[im.camera_id]
+        R = CM.qvec2rotmat(im.qvec).T
+        T = im.tvec
+        if cam.model_id == 0 or cam.model_id == 2:   # SIMPLE_PINHOLE/RADIAL
+            fx = fy = cam.params[0]
+        else:
+            fx, fy = cam.params[0], cam.params[1]
+        img = load_image_rgb(os.path.join(path, images_dir, im.name))
+        h0, w0 = img.shape[:2]
+        w, h = _resolve_resolution(w0, h0, resolution)
+        img = _maybe_resize(img, w, h)
+        fovx = focal2fov(fx, cam.width)
+        fovy = focal2fov(fy, cam.height)
+        cams.append(make_camera(
+            R, T, fovx, fovy, w, h,
+            image=np.clip(img[..., :3], 0, 1).transpose(2, 0, 1)
+            .astype(np.float32),
+            image_mask=np.ones((1, h, w), np.float32),
+            uid=idx, image_name=im.name))
+
+    if eval_split:
+        train = [c for i, c in enumerate(cams) if i % llffhold != 0]
+        test = [c for i, c in enumerate(cams) if i % llffhold == 0]
+    else:
+        train, test = cams, []
+
+    normals = np.zeros_like(xyz)
+    extent = _nerfpp_radius([np.asarray(c.world_view) for c in train])
+    return SceneData(train, test, xyz.astype(np.float32),
+                     (rgb / 255.0).astype(np.float32),
+                     normals.astype(np.float32), extent)
+
+
+def load_scene(path: str, **kw) -> SceneData:
+    """Dataset-type dispatch (scene/__init__.py:46-67)."""
+    if os.path.exists(os.path.join(path, "sparse")):
+        kw.pop("white_background", None)
+        return read_colmap_scene(path, **kw)
+    if os.path.exists(os.path.join(path, "transforms_train.json")):
+        return read_blender_scene(path, **kw)
+    raise ValueError(f"unrecognized scene layout at {path}")

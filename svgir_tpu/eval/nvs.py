@@ -1,0 +1,69 @@
+"""Novel-view-synthesis evaluation — ``eval_nvs.py`` equivalent.
+
+Renders train/test views through the active render mode, computes PSNR /
+SSIM (/ LPIPS when weights exist), writes per-view renders + auxiliary
+buffers and a metrics summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from svgir_tpu.eval import metrics as M
+
+
+def save_image(path: str, img) -> None:
+    import imageio.v2 as imageio
+    arr = np.asarray(img)
+    if arr.ndim == 3 and arr.shape[0] in (1, 3):
+        arr = arr.transpose(1, 2, 0)
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    imageio.imwrite(path, (np.clip(arr, 0, 1) * 255).astype(np.uint8))
+
+
+def render_set(out_dir: str, name: str, cameras: List, render_one,
+               save_buffers: tuple = ("render", "depth", "opacity"),
+               lpips_weights: Optional[str] = None) -> Dict:
+    """eval_nvs.py render_set (:29-90): render each view, metric vs GT."""
+    img_dir = os.path.join(out_dir, name, "renders")
+    gt_dir = os.path.join(out_dir, name, "gt")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+
+    psnrs, ssims, lpipss = [], [], []
+    for idx, cam in enumerate(cameras):
+        res = render_one(cam)
+        pred = jnp.clip(res["render"], 0, 1)
+        gt = cam.image
+        psnrs.append(M.psnr(pred, gt))
+        ssims.append(M.ssim(pred, gt))
+        lp = M.lpips(pred, gt, lpips_weights)
+        if lp is not None:
+            lpipss.append(lp)
+        save_image(os.path.join(img_dir, f"{idx:05d}.png"), pred)
+        save_image(os.path.join(gt_dir, f"{idx:05d}.png"), gt)
+        for key in save_buffers:
+            if key == "render" or key not in res:
+                continue
+            buf = res[key]
+            if key == "depth":
+                d = np.asarray(buf)[0]
+                rng = d.max() - d.min() + 1e-8
+                buf = ((d - d.min()) / rng)[None]
+            save_image(os.path.join(img_dir, f"{idx:05d}_{key}.png"), buf)
+
+    out = {
+        "psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+        "ssim": float(np.mean(ssims)) if ssims else float("nan"),
+        "lpips": float(np.mean(lpipss)) if lpipss else None,
+        "n_views": len(cameras),
+    }
+    with open(os.path.join(out_dir, name, "metrics.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return out

@@ -182,3 +182,24 @@ def radiance_consistency_loss(params, bake: Dict, cam_center: jax.Array,
         return jnp.where(alive[:, None], err, 0.0).sum() / (
             jnp.maximum(alive.sum(), 1) * 3)
     return err.mean()
+
+
+def irradiance_full(bake: Dict, env_term: jax.Array,
+                    vertex_normals: jax.Array, vertex_albedo: jax.Array,
+                    roughness: jax.Array, *, chunk: int = 8) -> jax.Array:
+    """One-bounce irradiance for EVERY primary sample — the Slang
+    ``render_irradiance`` (intersect_test.slang:904+, full-S variant of
+    irradiance_sample), used to re-bake ``_radiances`` under a new light at
+    relighting eval (calculate_radiance, gaussian_model.py:530-542).
+
+    Returns [N, S, 3].
+    """
+    n, s = bake["hit_idx"].shape
+    outs = []
+    for p0 in range(0, s, chunk):
+        idxs = jnp.arange(p0, min(p0 + chunk, s))
+        cols = [irradiance_sample(jnp.full((n,), int(p), jnp.int32), bake,
+                                  env_term, vertex_normals, vertex_albedo,
+                                  roughness) for p in idxs]
+        outs.append(jnp.stack(cols, axis=1))
+    return jnp.concatenate(outs, axis=1)

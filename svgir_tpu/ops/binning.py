@@ -17,7 +17,7 @@ returned ``gaussian_id`` (its transpose is the per-Gaussian segment-sum).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,11 @@ class PaddedInstances(NamedTuple):
     tile_count: jax.Array    # [T] int32 — padded counts (multiples of chunk)
     num_instances: jax.Array  # [] int32 — total padded count
     overflow: jax.Array      # [] bool
+    # counting-binner extras (None from the sort path): enable gather-based
+    # per-gaussian reductions in the blend backward (no scatter-add)
+    order: Optional[jax.Array] = None      # [N] depth-sorted gaussian ids
+    gauss_pos: Optional[jax.Array] = None  # [Ns, RC] slots per SORTED gaussian
+    gauss_nslots: Optional[jax.Array] = None  # [Ns] valid slots per row
 
 
 def bin_instances(prep: Preprocessed, *, width: int, height: int,
@@ -127,3 +132,111 @@ def pad_to_chunks(binned: BinnedInstances, *, chunk: int,
         tile_start=padded_starts.astype(jnp.int32),
         tile_count=padded_counts.astype(jnp.int32),
         num_instances=total, overflow=overflow)
+
+
+def bin_instances_counting(prep: Preprocessed, *,
+                           width: int, height: int,
+                           cfg: RasterConfig = RasterConfig(),
+                           rect_cap: int = 32,
+                           gauss_chunk: int = 4096) -> PaddedInstances:
+    """Sort-free binning: counting placement (TPU-native).
+
+    The generic two-key ``lax.sort`` over the padded instance buffer
+    dominates the frame (measured 619 ms of a 723 ms step at 800x800/50k on
+    v5e).  This replaces it with closed-form placement:
+
+      1. sort *gaussians* by depth (N-sized sort, cheap);
+      2. per-tile instance counts via a 2-D difference image of the tile
+         rects + two prefix sums (each rect is +1/-1 at its corners);
+      3. per-(gaussian, tile) depth rank via a chunked exclusive cumsum of
+         rect coverage indicators [chunk, T];
+      4. each instance's output slot is ``chunk_aligned_start[tile] + rank``
+         — all slots distinct, so the instance buffer is materialized by a
+         single unique-index scatter.
+
+    Produces the same (tile, depth)-ordered, chunk-aligned layout as
+    ``bin_instances`` + ``pad_to_chunks`` (equal depths keep gaussian-index
+    order, matching cub's stable radix sort).  Gaussians touching more than
+    ``rect_cap`` tiles contribute only their first ``rect_cap`` instances
+    (CUDA is unbounded; radii that large are degenerate splats).
+    """
+    tile = cfg.tile
+    chunk = cfg.chunk
+    grid_x = (width + tile - 1) // tile
+    grid_y = (height + tile - 1) // tile
+    num_tiles = grid_x * grid_y
+    m = cfg.max_instances
+    n = prep.valid.shape[0]
+
+    order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf),
+                        stable=True)
+    valid_s = prep.valid[order]
+    x0 = jnp.where(valid_s, prep.rect_min[order, 0], 0)
+    y0 = jnp.where(valid_s, prep.rect_min[order, 1], 0)
+    x1 = jnp.where(valid_s, prep.rect_max[order, 0], 0)
+    y1 = jnp.where(valid_s, prep.rect_max[order, 1], 0)
+    touched = jnp.where(valid_s, (x1 - x0) * (y1 - y0), 0)
+    touched = jnp.minimum(touched, rect_cap)
+
+    # ---- chunked depth ranks; per-tile counts fall out of the scan carry --
+    npad = (-n) % gauss_chunk
+    def pad(a):
+        return jnp.concatenate([a, jnp.zeros((npad,), a.dtype)])
+    x0p, y0p, x1p, y1p = pad(x0), pad(y0), pad(x1), pad(y1)
+    touched_p = pad(touched)
+    gid_p = pad(jnp.where(valid_s, order, -1).astype(jnp.int32))
+    ns = n + npad
+    nchunks = ns // gauss_chunk
+
+    tx_iota = jnp.arange(grid_x, dtype=jnp.int32)
+    ty_iota = jnp.arange(grid_y, dtype=jnp.int32)
+    ks = jnp.arange(rect_cap, dtype=jnp.int32)
+
+    def body(carry, c):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * gauss_chunk,
+                                                    gauss_chunk)
+        cx0, cy0, cx1, cy1 = sl(x0p), sl(y0p), sl(x1p), sl(y1p)
+        cov_x = ((tx_iota[None] >= cx0[:, None])
+                 & (tx_iota[None] < cx1[:, None]))
+        cov_y = ((ty_iota[None] >= cy0[:, None])
+                 & (ty_iota[None] < cy1[:, None]))
+        cov = (cov_y[:, :, None] & cov_x[:, None, :]).reshape(
+            gauss_chunk, num_tiles).astype(jnp.int32)
+        incl = jnp.cumsum(cov, axis=0)
+        excl = incl - cov + carry[None]
+
+        w_r = jnp.maximum(cx1 - cx0, 1)
+        tx = cx0[:, None] + ks[None] % w_r[:, None]
+        ty = cy0[:, None] + ks[None] // w_r[:, None]
+        t_inst = jnp.clip(ty * grid_x + tx, 0, num_tiles - 1)
+        rank = jnp.take_along_axis(excl, t_inst, axis=1)
+        return carry + incl[-1], (rank, t_inst)
+
+    carry0 = jnp.zeros((num_tiles,), jnp.int32)
+    counts, (rank_all, tinst_all) = jax.lax.scan(body, carry0,
+                                                 jnp.arange(nchunks))
+    # NOTE: counts include rect_cap-truncated coverage; truncated instances
+    # leave padding holes, which the kernel treats as no-ops.
+    padded_counts = ((counts + chunk - 1) // chunk) * chunk
+    tile_start = jnp.cumsum(padded_counts) - padded_counts
+    total = tile_start[-1] + padded_counts[-1]
+    overflow = total > m
+    total = jnp.minimum(total, m)
+
+    rank = rank_all.reshape(ns, rect_cap)
+    t_inst = tinst_all.reshape(ns, rect_cap)
+    ok = ks[None] < touched_p[:, None]
+    pos = jnp.where(ok, tile_start[t_inst] + rank, m)          # [Ns, RC]
+
+    out_gid = jnp.full((m,), -1, jnp.int32)
+    out_gid = out_gid.at[pos.reshape(-1)].set(
+        jnp.repeat(gid_p, rect_cap), mode="drop", unique_indices=True)
+    inst_valid = out_gid >= 0
+
+    return PaddedInstances(
+        gaussian_id=out_gid, inst_valid=inst_valid,
+        tile_start=tile_start.astype(jnp.int32),
+        tile_count=padded_counts.astype(jnp.int32),
+        num_instances=total, overflow=overflow,
+        order=order.astype(jnp.int32), gauss_pos=pos,
+        gauss_nslots=touched_p)

@@ -138,11 +138,11 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
 
     def body(c, logT):
         copy = pltpu.make_async_copy(
-            slab_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)], slab_vmem,
+            slab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk), :], slab_vmem,
             dma_sem)
         copy.start()
         copy.wait()
-        slab = slab_vmem[:, :]
+        slab = slab_vmem[:, :].T      # [KR, chunk]; cheap VMEM relayout
         m = _chunk_math(slab, px, py, chunk)
 
         logT_excl = logT + _dot(m["loga"], su, ((1,), (0,)))
@@ -181,8 +181,11 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
                   tile_count: jax.Array, *, ca: int, cv: int,
                   num_tiles: int, grid_x: int, tile: int = 16,
                   chunk: int = 128, interpret: bool = False):
-    """Run the forward blend.  Returns (out [T, 256, CA+CV+2], wsum [1, M])."""
-    kr, m = slab.shape
+    """Run the forward blend.  ``slab`` is ROW-major [M, KR] (instance rows)
+    so the producing gather writes contiguously; chunks are transposed to
+    [KR, chunk] inside the kernel.  Returns (out [T,256,CA+CV+2],
+    wsum [1, M])."""
+    m, kr = slab.shape
     kernel = functools.partial(_fwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
                                grid_x=grid_x, tile=tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -195,7 +198,7 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((kr, chunk), jnp.float32),
+            pltpu.VMEM((chunk, kr), jnp.float32),
             pltpu.VMEM((1, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -220,7 +223,8 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
 
 def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, logt_ref,
                 gwsum_hbm, dslab_hbm,
-                slab_vmem, grow_vmem, dslab_vmem, dma_sem, g_sem, d_sem,
+                slab_vmem, grow_vmem, dslab_vmem, dslab_rows, dma_sem,
+                g_sem, d_sem,
                 *, chunk, ca, cv, kr, grid_x, tile):
     """Reverse sweep: chunks from last to first, reconstructing logT.
 
@@ -245,7 +249,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, logt_ref,
         logT_after, suf = carry
         c = nchunks - 1 - i
         copy = pltpu.make_async_copy(
-            slab_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)], slab_vmem,
+            slab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk), :], slab_vmem,
             dma_sem)
         copy.start()
         gcopy = pltpu.make_async_copy(
@@ -255,7 +259,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, logt_ref,
         copy.wait()
         gcopy.wait()
 
-        slab = slab_vmem[:, :]
+        slab = slab_vmem[:, :].T      # [KR, chunk]
         m = _chunk_math(slab, px, py, chunk)
 
         suffix_incl = _dot(m["loga"], li, ((1,), (0,)))   # [PIX, chunk]
@@ -345,8 +349,9 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, logt_ref,
                 dslab_vmem[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :] = \
                     _dot(g_vf, w * wv[vtx], ((0,), (0,)))
 
+        dslab_rows[:, :] = dslab_vmem[:, :].T      # [chunk, KR]
         dcopy = pltpu.make_async_copy(
-            dslab_vmem, dslab_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)],
+            dslab_rows, dslab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk), :],
             d_sem)
         dcopy.start()
         dcopy.wait()
@@ -365,8 +370,10 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
                    ca: int, cv: int, num_tiles: int, grid_x: int,
                    tile: int = 16, chunk: int = 128,
                    interpret: bool = False) -> jax.Array:
-    """Returns d_slab [KR, M] (zeros at padding columns by construction)."""
-    kr, m = slab.shape
+    """slab/d_slab are ROW-major [M, KR].  d_slab rows for chunks whose
+    tiles were processed are written; the tail past the last tile's range
+    is NOT (mask with inst_valid / gauss_pos)."""
+    m, kr = slab.shape
     kernel = functools.partial(_bwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
                                grid_x=grid_x, tile=tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -382,9 +389,10 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),           # d_slab
         scratch_shapes=[
-            pltpu.VMEM((kr, chunk), jnp.float32),
+            pltpu.VMEM((chunk, kr), jnp.float32),
             pltpu.VMEM((1, chunk), jnp.float32),
             pltpu.VMEM((kr, chunk), jnp.float32),
+            pltpu.VMEM((chunk, kr), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -392,7 +400,7 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
     )
     d_slab = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((kr, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, kr), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,

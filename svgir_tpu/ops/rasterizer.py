@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from svgir_tpu.config import RasterConfig
 from svgir_tpu.ops import blend_pallas, common
-from svgir_tpu.ops.binning import bin_instances, pad_to_chunks
+from svgir_tpu.ops.binning import (bin_instances,
+    bin_instances_counting, pad_to_chunks)
 from svgir_tpu.ops.dense_ref import RenderBuffers
 from svgir_tpu.ops.preprocess import Preprocessed, preprocess
 
@@ -60,6 +61,70 @@ def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret):
     return blend
 
 
+@functools.lru_cache(maxsize=None)
+def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
+                       interpret):
+    """Blend wrapper for the counting binner: the custom-VJP boundary covers
+    instance gather + kernel, and the backward reduces per-instance
+    gradients to per-gaussian rows by GATHERING each gaussian's known slot
+    positions — no scatter-add anywhere (XLA TPU scatter-adds measured
+    ~10x slower than the equivalent contiguous row gathers)."""
+    kw = dict(ca=ca, cv=cv, num_tiles=num_tiles, grid_x=grid_x, tile=tile,
+              chunk=chunk, interpret=interpret)
+
+    def _instance_slab(slab_rows, gid, inst_valid):
+        rows = slab_rows[jnp.clip(gid, 0, n - 1)]           # [M, KR] row gather
+        return jnp.where(inst_valid[:, None], rows, 0.0)
+
+    def _per_gaussian(x_inst, gauss_pos, gauss_nslots, order):
+        """Sum x over each gaussian's instance slots, back in input order.
+        x_inst: [M] or [M, K]."""
+        k_ok = (jnp.arange(rc)[None] < gauss_nslots[:, None])
+        pos_c = jnp.clip(gauss_pos, 0, m - 1)
+        gathered = x_inst[pos_c]                             # [Ns, RC, ...]
+        mask = k_ok if gathered.ndim == 2 else k_ok[..., None]
+        summed = jnp.where(mask, gathered, 0.0).sum(axis=1)  # [Ns, ...]
+        out = jnp.zeros((n,) + summed.shape[1:], summed.dtype)
+        return out.at[order].set(summed[:order.shape[0]], mode="drop",
+                                 unique_indices=True)
+
+    @jax.custom_vjp
+    def blend(slab_rows, gid, inst_valid, tile_start, tile_count, order,
+              gauss_pos, gauss_nslots):
+        slab = _instance_slab(slab_rows, gid, inst_valid)
+        out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
+                                               **kw)
+        weights = _per_gaussian(wsum[0], gauss_pos, gauss_nslots, order)
+        return out, weights
+
+    def blend_fwd(slab_rows, gid, inst_valid, tile_start, tile_count, order,
+                  gauss_pos, gauss_nslots):
+        slab = _instance_slab(slab_rows, gid, inst_valid)
+        out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
+                                               **kw)
+        weights = _per_gaussian(wsum[0], gauss_pos, gauss_nslots, order)
+        logt = out[..., ca + cv:ca + cv + 1]
+        res = (slab_rows, gid, inst_valid, tile_start, tile_count, order,
+               gauss_pos, gauss_nslots, logt)
+        return (out, weights), res
+
+    def blend_bwd(res, cotangents):
+        (slab_rows, gid, inst_valid, tile_start, tile_count, order,
+         gauss_pos, gauss_nslots, logt) = res
+        g_out, g_weights = cotangents
+        slab = _instance_slab(slab_rows, gid, inst_valid)
+        # per-instance wsum cotangent = its gaussian's weights cotangent
+        g_wsum = jnp.where(inst_valid,
+                           g_weights[jnp.clip(gid, 0, n - 1)], 0.0)[None]
+        d_inst = blend_pallas.blend_backward(
+            slab, tile_start, tile_count, g_out, logt, g_wsum, **kw)
+        d_rows = _per_gaussian(d_inst, gauss_pos, gauss_nslots, order)
+        return (d_rows, None, None, None, None, None, None, None)
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend
+
+
 def _pack_slab(prep: Preprocessed, opacity: jax.Array,
                features: Optional[jax.Array],
                vfeatures: Optional[jax.Array],
@@ -86,32 +151,34 @@ def _pack_slab(prep: Preprocessed, opacity: jax.Array,
     geom = jnp.stack([x, y, prep.conic[:, 0], prep.conic[:, 1],
                       prep.conic[:, 2], opacity,
                       j[:, 0], j[:, 1], j[:, 2], j[:, 3],
-                      prep.lam[:, 0], prep.lam[:, 1]], axis=0)     # [12, N]
+                      prep.lam[:, 0], prep.lam[:, 1]], axis=-1)    # [N, 12]
 
-    plain = [prep.rgb.T, prep.normal_view.T,
-             adepth[None], c1[None], c2[None]]
+    plain = [prep.rgb, prep.normal_view,
+             adepth[:, None], c1[:, None], c2[:, None]]
     if features is not None:
-        plain.append(features.T)
-    plain = jnp.concatenate(plain, axis=0)                         # [CA, N]
-    ca = plain.shape[0]
+        plain.append(features)
+    plain = jnp.concatenate(plain, axis=-1)                        # [N, CA]
+    ca = plain.shape[1]
 
     if vfeatures is not None:
         vs = vfeatures.shape[1]
         cv = vs // 4
         # channel-major storage [c0v0 c0v1 c0v2 c0v3 c1v0 ...]
-        # (gaussian_model.py:287-295) -> v-major rows [v*CV + c].
+        # (gaussian_model.py:287-295) -> v-major columns [v*CV + c].
         vmat = vfeatures.reshape(n, cv, 4)                         # [N, CV, 4]
-        vrows = jnp.transpose(vmat, (2, 1, 0)).reshape(4 * cv, n)
+        vcols = jnp.swapaxes(vmat, 1, 2).reshape(n, 4 * cv)
     else:
         cv = 0
-        vrows = jnp.zeros((0, n))
+        vcols = jnp.zeros((n, 0))
 
-    slab = jnp.concatenate([geom, plain, vrows], axis=0)
-    # pad rows to the f32 sublane tiling (8) so chunk DMAs slice aligned
-    kr = slab.shape[0]
-    pad = (-kr) % 8
+    slab = jnp.concatenate([geom, plain, vcols], axis=-1)          # [N, KR]
+    # pad columns to the 128-lane tiling: the kernel DMAs [chunk, KR]
+    # row blocks whose lane dimension must be 128-aligned
+    kr = slab.shape[1]
+    pad = (-kr) % 128
     if pad:
-        slab = jnp.concatenate([slab, jnp.zeros((pad, n), slab.dtype)], axis=0)
+        slab = jnp.concatenate([slab, jnp.zeros((n, pad), slab.dtype)],
+                               axis=-1)
     return slab, ca, cv
 
 
@@ -165,20 +232,33 @@ def rasterize(
     if mean2d_offset is not None:
         prep = prep._replace(mean2d=prep.mean2d + mean2d_offset)
 
-    binned = bin_instances(prep, width=width, height=height, cfg=cfg)
-    padded = pad_to_chunks(binned, chunk=cfg.chunk,
-                           max_instances=cfg.max_instances)
+    if cfg.binner == "counting":
+        padded = bin_instances_counting(prep, width=width, height=height,
+                                        cfg=cfg, rect_cap=cfg.rect_cap)
+    else:
+        binned = bin_instances(prep, width=width, height=height, cfg=cfg)
+        padded = pad_to_chunks(binned, chunk=cfg.chunk,
+                               max_instances=cfg.max_instances)
 
     slab_g, ca, cv = _pack_slab(prep, opacity, features, vfeatures, cfg)
-    gid = jnp.clip(padded.gaussian_id, 0, means3d.shape[0] - 1)
-    slab = jnp.where(padded.inst_valid[None, :], slab_g[:, gid], 0.0)
-
-    blend = _make_blend(ca, cv, num_tiles, grid_x, tile, cfg.chunk, interpret)
-    out, wsum = blend(slab, padded.tile_start, padded.tile_count,
-                      padded.inst_valid)
-
-    # ---- per-gaussian weight sums (out_weights, forward.cu:653) ----------
-    weights = jax.ops.segment_sum(wsum[0], gid, num_segments=means3d.shape[0])
+    n = means3d.shape[0]
+    if padded.order is not None:
+        blend = _make_blend_gather(ca, cv, num_tiles, grid_x, tile,
+                                   cfg.chunk, n, cfg.max_instances,
+                                   cfg.rect_cap, interpret)
+        out, weights = blend(slab_g, padded.gaussian_id,
+                             padded.inst_valid, padded.tile_start,
+                             padded.tile_count, padded.order,
+                             padded.gauss_pos, padded.gauss_nslots)
+    else:
+        gid = jnp.clip(padded.gaussian_id, 0, n - 1)
+        slab = jnp.where(padded.inst_valid[:, None], slab_g[gid], 0.0)
+        blend = _make_blend(ca, cv, num_tiles, grid_x, tile, cfg.chunk,
+                            interpret)
+        out, wsum = blend(slab, padded.tile_start, padded.tile_count,
+                          padded.inst_valid)
+        # per-gaussian weight sums (out_weights, forward.cu:653)
+        weights = jax.ops.segment_sum(wsum[0], gid, num_segments=n)
 
     # ---- assemble tile blocks into images --------------------------------
     co = ca + cv + 2

@@ -151,3 +151,178 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                 callback(entry, state)
 
     return state, opt_state, history
+
+
+def make_svgss_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
+                          bg, *, sh_degree: int = 3,
+                          lrs: Optional[Dict[str, float]] = None):
+    """Jitted stage-2 (render_relight) train step.
+
+    step(state, opt_state, env_state, bake, camera, iteration, xyz_lr,
+         radiance_lr, lls_weight) -> (state, opt_state, env_state, tb)
+
+    Covers train.py's stage-2 loop mechanics: joint gaussian + env-map Adam
+    steps; the radiance-group LR and the local-lights smoothness weight are
+    per-step scalars so the %1000 zeroing (train.py:211-214) needs no
+    recompile.
+    """
+    from svgir_tpu.render.svgss import render_svgss
+
+    bg = jnp.asarray(bg)
+
+    @jax.jit
+    def step(state, opt_state, env_state, bake, camera, iteration, xyz_lr,
+             radiance_lr, lls_weight):
+        params, alive, stats = state["params"], state["alive"], state["stats"]
+        cap = alive.shape[0]
+        off0 = jnp.zeros((cap, 2))
+
+        def loss_fn(p, env_p, off):
+            res = render_svgss(camera, p, bg, bake=bake, env_params=env_p,
+                               opt=opt, iteration=iteration,
+                               is_training=True, alive=alive,
+                               mean2d_offset=off, sh_degree=sh_degree,
+                               lambda_local_lights_smooth=lls_weight,
+                               cfg=raster_cfg)
+            return res["loss"], res
+
+        (loss, res), (gp, genv, goff) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                params, env_state["params"], off0)
+
+        step_lrs = {**(lrs or {}), "xyz": xyz_lr, "radiances": radiance_lr}
+        params, opt_state = optim.adam_step(params, gp, opt_state, step_lrs)
+        env_params, env_opt = optim.adam_step(
+            env_state["params"], genv, env_state["opt"],
+            {"env": opt.env_lr})
+
+        new_state = {"params": params, "alive": alive, "stats": stats}
+        new_env = {"params": env_params, "opt": env_opt}
+        tb = dict(res["tb_dict"])
+        return new_state, opt_state, new_env, tb
+
+    return step
+
+
+def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
+                 bg=(0.0, 0.0, 0.0), raster_cfg: RasterConfig = RasterConfig(),
+                 spatial_lr_scale: float = 1.0, sh_degree: int = 3,
+                 sample_num: int = 64, env_resolution: int = 16,
+                 first_iter: int = 30_000, iterations: int = 50_000,
+                 seed: int = 0, log_every: int = 50, callback=None,
+                 bake_key=None, env_state=None, bake=None):
+    """Stage-2 loop (train.py with is_pbr=True).
+
+    ``state`` must already be PBR-upgraded (models.gaussians.upgrade_to_pbr).
+    Bakes radiance once at start (update_radiace, train.py:59), initializes
+    radiances/ratio params if absent, freezes geometry LRs per the recipe
+    (run_tensoir.sh:20-42 sets position/scaling/rotation lr 0 for stage 2).
+    """
+    from svgir_tpu.models import lights as LT
+    from svgir_tpu.models import radiance as RAD
+
+    params = dict(state["params"])
+    alive = state["alive"]
+    key = jax.random.PRNGKey(seed)
+
+    if bake is None:
+        key, sub = jax.random.split(key)
+        bake = bake_radiance_compact(params, alive, sample_num=sample_num,
+                                     key=bake_key if bake_key is not None
+                                     else sub)
+    bake_static = {k: v for k, v in bake.items() if k != "exhausted_frac"}
+
+    if "radiances" not in params or params["radiances"].shape[1] != sample_num:
+        params["radiances"] = bake["radiance"]
+        params["radiance_ratio"] = jnp.ones(())
+    state = {**state, "params": params}
+
+    if env_state is None:
+        key, sub = jax.random.split(key)
+        env_state = LT.direct_light_map_init(sub, h=env_resolution,
+                                             light_init=opt.light_init)
+
+    lrs = optim.group_lrs(opt, spatial_lr_scale, use_pbr=True)
+    opt_state = optim.adam_init(params)
+    step_fn = make_svgss_train_step(opt, raster_cfg, bg,
+                                    sh_degree=sh_degree, lrs=lrs)
+    xyz_sched = get_expon_lr_fn(
+        lr_init=opt.position_lr_init * spatial_lr_scale,
+        lr_final=opt.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps)
+
+    rng = random.Random(seed)
+    stack: List[int] = []
+    cams = [strip_meta(c) for c in cameras]
+
+    radiance_lr = opt.radiance_lr
+    lls_weight = opt.lambda_local_lights_smooth
+    history = []
+    t0 = time.time()
+    for it in range(first_iter + 1, iterations + 1):
+        if not stack:
+            stack = list(range(len(cams)))
+        cam = cams[stack.pop(rng.randrange(len(stack)))]
+        xyz_lr = float(xyz_sched(it))
+
+        state, opt_state, env_state, tb = step_fn(
+            state, opt_state, env_state, bake_static, cam,
+            jnp.float32(it - first_iter), jnp.float32(xyz_lr),
+            jnp.float32(radiance_lr), jnp.float32(lls_weight))
+
+        # train.py:211-214: zero the radiance lr + local-lights smoothness
+        # at the first %1000 boundary
+        if it % 1000 == 0:
+            radiance_lr = 0.0
+            lls_weight = 0.0
+
+        if it % log_every == 0 or it == iterations:
+            entry = {"iter": it, "psnr": float(tb["psnr"]),
+                     "psnr_pbr": float(tb["psnr_pbr"]),
+                     "loss": float(tb["loss"]),
+                     "elapsed": time.time() - t0}
+            history.append(entry)
+            if callback:
+                callback(entry, state, env_state)
+
+    return state, opt_state, env_state, bake_static, history
+
+
+def bake_radiance_compact(params, alive, *, sample_num: int, key=None,
+                          **bake_kw):
+    """Bake only over ALIVE gaussians (the padded capacity can be several
+    times the live count after pruning), then re-expand the buffers to
+    capacity indexing, remapping hit indices back to capacity rows."""
+    from svgir_tpu.models import radiance as RAD
+
+    cap = alive.shape[0]
+    n_alive = int(jax.device_get(alive.sum()))
+    idx = jnp.nonzero(alive, size=n_alive)[0]              # compact -> cap
+
+    sub = {k: params[k][idx] for k in
+           ("xyz", "scaling", "rotation", "opacity", "shs_dc", "shs_rest")}
+    bake_c = RAD.bake_radiance(
+        sub["xyz"], G.get_scaling(sub), G.get_rotation(sub),
+        G.get_opacity(sub)[:, 0], G.get_shs(sub),
+        sample_num=sample_num, key=key, **bake_kw)
+
+    s = sample_num
+
+    def expand(x, fill=0.0):
+        out = jnp.full((cap,) + x.shape[1:], fill, x.dtype)
+        return out.at[idx].set(x, unique_indices=True)
+
+    hit_c = bake_c["hit_idx"]
+    hit_cap = jnp.where(hit_c >= 0,
+                        idx[jnp.clip(hit_c, 0, n_alive - 1)], -1)
+    return {
+        "radiance": expand(bake_c["radiance"]),
+        "visibility": expand(bake_c["visibility"], fill=1.0),
+        "incident_dirs": expand(bake_c["incident_dirs"]),
+        "incident_areas": expand(bake_c["incident_areas"],
+                                 fill=2.0 * 3.141592653589793),
+        "hit_idx": expand(hit_cap.astype(jnp.int32), fill=-1),
+        "uv": expand(bake_c["uv"]),
+        "exhausted_frac": bake_c["exhausted_frac"],
+    }

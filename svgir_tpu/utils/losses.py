@@ -53,12 +53,31 @@ def _depthwise_conv(img: jax.Array, kern: jax.Array, padding) -> jax.Array:
     return out[0]
 
 
+def _separable_conv(img: jax.Array, kern1d: jax.Array, pad: int) -> jax.Array:
+    """Depthwise 2-D gaussian blur as two 1-D passes (the 11x11 window is
+    separable: 22 taps instead of 121)."""
+    c = img.shape[0]
+    k = kern1d.shape[0]
+    lhs = img[None]
+    rhs_v = jnp.broadcast_to(kern1d[None, None, :, None], (c, 1, k, 1))
+    rhs_h = jnp.broadcast_to(kern1d[None, None, None, :], (c, 1, 1, k))
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs_v, (1, 1), [(pad, pad), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+    out = jax.lax.conv_general_dilated(
+        out, rhs_h, (1, 1), [(0, 0), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+    return out[0]
+
+
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
     """Mean SSIM over a [C, H, W] pair (loss_utils.py:33-64)."""
-    kern = jnp.asarray(_gaussian_window(window_size, 1.5))
+    g1d = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
+                 / (2 * 1.5 ** 2))
+    g1d = (g1d / g1d.sum()).astype(np.float32)
+    kern1d = jnp.asarray(g1d)
     pad = window_size // 2
-    padding = [(pad, pad), (pad, pad)]
-    conv = partial(_depthwise_conv, kern=kern, padding=padding)
+    conv = partial(_separable_conv, kern1d=kern1d, pad=pad)
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     sigma1_sq = conv(img1 * img1) - mu1_sq

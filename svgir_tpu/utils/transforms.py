@@ -15,9 +15,16 @@ import jax.numpy as jnp
 
 
 def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """L2-normalize along ``axis`` (torch.nn.functional.normalize semantics)."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return v / jnp.maximum(n, eps)
+    """L2-normalize along ``axis`` (torch.nn.functional.normalize semantics).
+
+    Uses the clamped-square rsqrt form: ``jnp.linalg.norm`` has a NaN
+    gradient at exactly-zero vectors (0/0 in the sqrt backward), which
+    poisons autodiff through masked/degenerate normals (e.g. depth2normal
+    on flat regions); clamping the *squared* norm keeps the backward finite
+    while matching torch's forward exactly.
+    """
+    sq = jnp.sum(v * v, axis=axis, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
 def quat_to_rotmat(q: jax.Array) -> jax.Array:

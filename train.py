@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Two-stage training CLI — the reference ``train.py`` equivalent.
+
+Usage (mirrors script/run_tensoir.sh):
+  stage 1:  python train.py -s <scene> -m out/lego -t render \
+                --iterations 30000 --lambda_mask_entropy 0.1 ...
+  stage 2:  python train.py -s <scene> -m out/lego -t render_relight \
+                -c out/lego/chkpnt30000.npz --iterations 50000 \
+                --sample_num 64 --env_resolution 32 ...
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from svgir_tpu.config import (ModelConfig, OptimizationConfig,
+                              PipelineConfig, RasterConfig, add_to_parser,
+                              from_args)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="svgir_tpu trainer")
+    add_to_parser(ModelConfig, parser, "Loading Parameters")
+    add_to_parser(PipelineConfig, parser, "Pipeline Parameters")
+    add_to_parser(OptimizationConfig, parser, "Optimization Parameters")
+    parser.add_argument("-t", "--type", default="render",
+                        choices=["render", "render_relight"])
+    parser.add_argument("-c", "--checkpoint", default=None)
+    parser.add_argument("--checkpoint_interval", type=int, default=5000)
+    parser.add_argument("--max_instances", type=int, default=1 << 20)
+    parser.add_argument("--max_cameras", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    model_cfg = from_args(ModelConfig, args)
+    pipe_cfg = from_args(PipelineConfig, args)
+    opt_cfg = from_args(OptimizationConfig, args)
+    raster_cfg = RasterConfig(max_instances=args.max_instances)
+
+    import jax
+    import jax.numpy as jnp
+    from svgir_tpu.data.readers import load_scene
+    from svgir_tpu.models import gaussians as G
+    from svgir_tpu.train import checkpoint as CK
+    from svgir_tpu.train.trainer import train_stage1, train_stage2
+
+    os.makedirs(model_cfg.model_path or "output", exist_ok=True)
+    out_dir = model_cfg.model_path or "output"
+    with open(os.path.join(out_dir, "cfg_args.json"), "w") as f:
+        json.dump({k: v for k, v in vars(args).items()
+                   if isinstance(v, (int, float, str, bool, type(None)))},
+                  f, indent=2)
+
+    print(f"Loading scene {model_cfg.source_path}", flush=True)
+    scene = load_scene(model_cfg.source_path,
+                       white_background=model_cfg.white_background,
+                       eval_split=model_cfg.eval,
+                       resolution=model_cfg.resolution,
+                       max_cameras=(6 if model_cfg.debug_subset
+                                    else args.max_cameras))
+    print(f"  {len(scene.train_cameras)} train / "
+          f"{len(scene.test_cameras)} test cameras, "
+          f"extent {scene.cameras_extent:.3f}", flush=True)
+
+    bg = (1.0, 1.0, 1.0) if model_cfg.white_background else (0.0, 0.0, 0.0)
+    is_pbr = args.type == "render_relight"
+
+    first_iter = 0
+    env_state = None
+    if args.checkpoint:
+        first_iter, tree = CK.load_checkpoint(args.checkpoint)
+        state = tree["state"]
+        env_state = tree.get("env")
+        if is_pbr and "base_color" not in state["params"]:
+            state = G.upgrade_to_pbr(state)
+        print(f"Resumed from {args.checkpoint} at iter {first_iter}",
+              flush=True)
+    else:
+        state = G.init_from_points(
+            jnp.asarray(scene.points), jnp.asarray(scene.colors),
+            normals=jnp.asarray(scene.normals),
+            sh_degree=model_cfg.sh_degree)
+        if is_pbr:
+            state = G.upgrade_to_pbr(state)
+
+    def cb(entry, *_):
+        print("  " + "  ".join(f"{k}={v:.4g}" if isinstance(v, float)
+                               else f"{k}={v}" for k, v in entry.items()),
+              flush=True)
+
+    if not is_pbr:
+        state, opt_state, hist = train_stage1(
+            state, scene.train_cameras, opt_cfg, bg=bg,
+            raster_cfg=raster_cfg, spatial_lr_scale=scene.cameras_extent,
+            sh_degree=model_cfg.sh_degree, first_iter=first_iter,
+            iterations=opt_cfg.iterations, seed=args.seed, callback=cb)
+        CK.save_checkpoint(
+            os.path.join(out_dir, f"chkpnt{opt_cfg.iterations}.npz"),
+            opt_cfg.iterations, state, opt_state)
+        CK.save_model_ply(os.path.join(out_dir, "point_cloud.ply"),
+                          state["params"], state["alive"], use_pbr=False)
+    else:
+        state, opt_state, env_state, bake, hist = train_stage2(
+            state, scene.train_cameras, opt_cfg, bg=bg,
+            raster_cfg=raster_cfg, spatial_lr_scale=scene.cameras_extent,
+            sh_degree=model_cfg.sh_degree, sample_num=pipe_cfg.sample_num,
+            env_resolution=model_cfg.env_resolution,
+            first_iter=first_iter, iterations=opt_cfg.iterations,
+            seed=args.seed, callback=cb, env_state=env_state)
+        CK.save_checkpoint(
+            os.path.join(out_dir, f"chkpnt{opt_cfg.iterations}.npz"),
+            opt_cfg.iterations, state, opt_state, env=env_state,
+            extra={k: v for k, v in bake.items()})
+        CK.save_model_ply(os.path.join(out_dir, "point_cloud.ply"),
+                          state["params"], state["alive"], use_pbr=True)
+    print("Training complete.", flush=True)
+
+
+if __name__ == "__main__":
+    main()
