@@ -69,14 +69,30 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
 
 
 def write_ply(path: str, columns: Dict[str, np.ndarray]) -> None:
-    """Write a binary_little_endian PLY with one 'vertex' element."""
+    """Write a binary_little_endian PLY with one 'vertex' element.
+
+    All-f32 tables take the threaded C++ interleave fast path
+    (native/svgir_native.cpp)."""
     names = list(columns)
     n = len(next(iter(columns.values())))
     rec = np.dtype([(name, np.asarray(columns[name]).dtype.newbyteorder("<"))
                     for name in names])
-    arr = np.empty(n, rec)
-    for name in names:
-        arr[name] = np.asarray(columns[name])
+    all_f32 = all(np.asarray(columns[nm]).dtype == np.float32
+                  for nm in names)
+    arr = None
+    if all_f32:
+        try:
+            from native import build as _nb
+            rows = _nb.interleave_f32([np.asarray(columns[nm])
+                                       for nm in names])
+            if rows is not None:
+                arr = rows.view(rec)[:, 0]
+        except ImportError:
+            pass
+    if arr is None:
+        arr = np.empty(n, rec)
+        for name in names:
+            arr[name] = np.asarray(columns[name])
     with open(path, "wb") as f:
         f.write(b"ply\nformat binary_little_endian 1.0\n")
         f.write(f"element vertex {n}\n".encode())

@@ -375,3 +375,63 @@ def grow_capacity(state, opt_state, new_cap: int):
         "v": {k: pad(v) for k, v in opt_state["v"].items()},
     }
     return state, opt_state
+
+
+def apply_transform(params: Dict[str, jax.Array], transform: jax.Array
+                    ) -> Dict[str, jax.Array]:
+    """Rigid+scale transform of the model (GaussianModel.set_transform,
+    gaussian_model.py:169-193): used by multi-scene composition
+    (relighting.py scene_composition)."""
+    from svgir_tpu.utils.transforms import quat_multiply, rotmat_to_quat
+
+    params = dict(params)
+    scale = jnp.linalg.norm(transform[:3, :3], axis=-1)     # per-row norm
+    params["scaling"] = jnp.log(get_scaling(params) * scale)
+    ones = jnp.ones_like(params["xyz"][:, :1])
+    homo = jnp.concatenate([params["xyz"], ones], -1)
+    params["xyz"] = (homo @ transform.T)[:, :3]
+    rot = transform[:3, :3] / scale[:, None]
+    if params["normal"].shape[-1] == 3:
+        params["normal"] = params["normal"] @ rot.T
+    rot_q = rotmat_to_quat(rot[None])[0]
+    params["rotation"] = quat_multiply(rot_q[None], params["rotation"])
+    return params
+
+
+def concatenate_models(states) -> Dict:
+    """create_from_gaussians (gaussian_model.py:599-611): concatenate the
+    alive rows of several models into one padded state."""
+    parts = []
+    for st in states:
+        import numpy as np
+        alive = np.asarray(st["alive"])
+        parts.append({k: v[alive] for k, v in st["params"].items()
+                      if hasattr(v, "ndim") and v.ndim >= 1})
+    total = sum(p["xyz"].shape[0] for p in parts)
+    cap = _round_capacity(total)
+    keys = parts[0].keys()
+    params = {}
+    for k in keys:
+        cat = jnp.concatenate([p[k] for p in parts], axis=0)
+        out = jnp.zeros((cap,) + cat.shape[1:], cat.dtype)
+        params[k] = out.at[:total].set(cat)
+    if "radiance_ratio" in states[0]["params"]:
+        params["radiance_ratio"] = states[0]["params"]["radiance_ratio"]
+    alive = jnp.zeros((cap,), bool).at[:total].set(True)
+    return {"params": params, "alive": alive, "stats": init_stats(cap)}
+
+
+def knn_regularization_loss(params, alive=None, k: int = 8):
+    """get_knn_loss (gaussian_model.py:577-592): variance of albedo and
+    roughness over each point's top-k neighborhood (defined in the reference
+    but not wired into any loss path; exposed for parity)."""
+    from svgir_tpu.ops.knn import knn
+
+    pts = params["xyz"]
+    n_valid = None if alive is None else alive.sum()
+    _, idx = knn(pts, k=k, n_valid=n_valid)
+    albedo = get_base_color(params)
+    rough = get_roughness(params)
+    knn_albedo = albedo[idx]                    # [N, k, 12]
+    knn_rough = rough[idx]
+    return knn_albedo.var(axis=1).mean(), knn_rough.var(axis=1).mean()

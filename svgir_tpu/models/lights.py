@@ -131,3 +131,55 @@ def env_light_direct(state: Dict, dirs: jax.Array) -> jax.Array:
     env = state["lookup"]
     u, v = _equirect_query(dirs, env.shape[0], env.shape[1])
     return _bilinear_lookup(env, u, v)
+
+
+# ---------------------------------------------------------------------------
+# Spherical-gaussian / SH / gamma light variants (scene/direct_light_sg.py,
+# scene/derect_light_sh.py, scene/gamma_trans.py — present in the reference
+# but unused by the default recipes)
+# ---------------------------------------------------------------------------
+
+def direct_light_sg_init(key: jax.Array, num_sgs: int = 32) -> Dict:
+    """Learnable mixture of spherical gaussians (direct_light_sg.py):
+    lobe axis (unit), sharpness lambda (softplus), amplitude mu (softplus).
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    axis = jax.random.normal(k1, (num_sgs, 3))
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    params = {
+        "sg_axis": axis,
+        "sg_sharpness": jax.random.uniform(k2, (num_sgs, 1), minval=0.0,
+                                           maxval=2.0),
+        "sg_amplitude": jax.random.uniform(k3, (num_sgs, 3)),
+    }
+    return {"params": params, "opt": optim.adam_init(params)}
+
+
+def direct_light_sg(params, dirs: jax.Array) -> jax.Array:
+    """Radiance = sum_i mu_i * exp(lambda_i * (axis_i . d - 1))."""
+    axis = params["sg_axis"] / jnp.linalg.norm(params["sg_axis"], axis=-1,
+                                               keepdims=True)
+    lam = jax.nn.softplus(params["sg_sharpness"])
+    mu = jax.nn.softplus(params["sg_amplitude"])
+    cos = jnp.einsum("...d,kd->...k", dirs, axis)          # [..., K]
+    w = jnp.exp(lam[:, 0] * (cos - 1.0))
+    return w @ mu
+
+
+def direct_light_sh_init(key: jax.Array, deg: int = 2) -> Dict:
+    """Learnable global SH environment (derect_light_sh.py)."""
+    k = (deg + 1) ** 2
+    params = {"sh": 0.1 * jax.random.normal(key, (3, k))}
+    return {"params": params, "opt": optim.adam_init(params), "deg": deg}
+
+
+def direct_light_sh(params, dirs: jax.Array, deg: int = 2) -> jax.Array:
+    from svgir_tpu.utils.sh import eval_sh
+    return jnp.clip(eval_sh(deg, params["sh"], dirs), min=0.0)
+
+
+def gamma_correct(img: jax.Array, gamma_params=None) -> jax.Array:
+    """Learnable-gamma transform (scene/gamma_trans.py LearningGammaTransform
+    analog): img ** (1/softplus(g))."""
+    g = jax.nn.softplus(gamma_params["gamma"]) if gamma_params else 2.2
+    return jnp.power(jnp.clip(img, 1e-8, None), 1.0 / g)

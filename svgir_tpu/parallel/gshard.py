@@ -1,0 +1,182 @@
+"""Gaussian-sharded + tile-sharded rasterization (the TP/SP analog).
+
+SURVEY.md §2.3 plan: shard the N-gaussian axis for preprocess/shading
+("model parallel"), exchange splats to tile owners, shard the tile grid for
+blending ("spatial parallel").  Realized TPU-natively as one ``shard_map``:
+
+  1. each device preprocesses its gaussian shard (embarrassingly parallel);
+  2. ``all_gather`` the compacted per-gaussian blend payload over ICI
+     (the sorted-key all-to-all of the CUDA plan collapses to one gather
+     because every device re-bins only the rects overlapping ITS tile rows);
+  3. each device translates screen space so its tile-row slice starts at
+     y=0 — the depth-affine channels are translation-invariant by
+     construction — then bins + blends its rows with the standard
+     single-device kernels;
+  4. the image comes out row-sharded; gradients flow through the collective
+     transposes automatically (all_gather^T = psum + slice), so the same
+     jitted value_and_grad covers multi-chip training with parameter
+     gradients reduced over ICI.
+
+Load balance note: tile rows are equal-area, not equal-instance; the
+instance-count-balanced partition (SURVEY §7 hard part 5) can reuse this
+structure with an uneven row split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from svgir_tpu.config import RasterConfig
+from svgir_tpu.ops import blend_pallas, common
+from svgir_tpu.ops.binning import bin_instances_counting
+from svgir_tpu.ops.preprocess import Preprocessed, preprocess
+from svgir_tpu.ops.rasterizer import _make_blend_gather, _pack_slab
+
+
+def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
+                      camera, bg, *, shs=None, sh_degree=3, colors=None,
+                      features=None, vfeatures=None, mask=None,
+                      cfg: RasterConfig = RasterConfig(),
+                      interpret: Optional[bool] = None):
+    """Multi-device rasterization: gaussian-sharded preprocess, tile-row-
+    sharded blend.  Returns the same buffer dict as ``rasterize`` with
+    full-image outputs (already reassembled).
+
+    The N axis must divide the mesh; the image height is padded so the tile
+    rows divide evenly.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ndev = mesh.devices.size
+    width, height = camera.width, camera.height
+    tile = cfg.tile
+    grid_x = -(-width // tile)
+    grid_y_total = -(-height // tile)
+    grid_y_total = -(-grid_y_total // ndev) * ndev     # rows divide devices
+    rows_per_dev = grid_y_total // ndev
+    num_tiles_local = grid_x * rows_per_dev
+    m_local = cfg.max_instances // ndev
+    cfg_local = dataclasses.replace(cfg, max_instances=m_local)
+
+    n = means3d.shape[0]
+    kw = dict(width=width, height=height, tanfovx=camera.tanfovx,
+              tanfovy=camera.tanfovy, focal_x=camera.focal_x,
+              focal_y=camera.focal_y, sh_degree=sh_degree,
+              cfg=cfg)
+
+    def per_device(means_l, scales_l, quats_l, opac_l, shs_l, colors_l,
+                   feat_l, vfeat_l, mask_l):
+        # ---- 1. preprocess the local gaussian shard ----------------------
+        prep = preprocess(means_l, scales_l, quats_l, camera.world_view,
+                          camera.full_proj, camera.camera_center,
+                          shs=shs_l, colors=colors_l, **kw)
+        if mask_l is not None:
+            valid = prep.valid & mask_l
+            prep = prep._replace(
+                valid=valid, radius=jnp.where(valid, prep.radius, 0),
+                tiles_touched=jnp.where(valid, prep.tiles_touched, 0))
+        slab_l, ca, cv = _pack_slab(prep, opac_l, feat_l, vfeat_l, cfg)
+
+        # ---- 2. all-gather the blend payload over ICI --------------------
+        slab = jax.lax.all_gather(slab_l, axis, tiled=True)     # [N, KR]
+        depth = jax.lax.all_gather(prep.depth, axis, tiled=True)
+        valid = jax.lax.all_gather(prep.valid, axis, tiled=True)
+        rect_min = jax.lax.all_gather(prep.rect_min, axis, tiled=True)
+        rect_max = jax.lax.all_gather(prep.rect_max, axis, tiled=True)
+
+        # ---- 3. clip rects to this device's tile rows + translate --------
+        idx = jax.lax.axis_index(axis)
+        y0 = idx * rows_per_dev
+        rmin_y = jnp.clip(rect_min[:, 1] - y0, 0, rows_per_dev)
+        rmax_y = jnp.clip(rect_max[:, 1] - y0, 0, rows_per_dev)
+        touched = (rect_max[:, 0] - rect_min[:, 0]) * (rmax_y - rmin_y)
+        valid_loc = valid & (touched > 0)
+        # translate mean2d.y and the depth-affine intercept by the row
+        # offset (exactly compensated by local pixel coords)
+        y_off = jnp.float32(y0 * tile)
+        slab = slab.at[:, 1].add(-y_off)
+        slab = slab.at[:, NG_ADEPTH].add(y_off * slab[:, NG_C2])
+
+        prep_view = Preprocessed(
+            valid=valid_loc, mean2d=jnp.zeros((n, 2)), depth=depth,
+            conic=jnp.zeros((n, 3)), radius=jnp.zeros((n,), jnp.int32),
+            rect_min=jnp.stack([rect_min[:, 0], rmin_y], -1),
+            rect_max=jnp.stack([rect_max[:, 0], rmax_y], -1),
+            tiles_touched=jnp.where(valid_loc, touched, 0),
+            normal_view=jnp.zeros((n, 3)), jinv=jnp.zeros((n, 10)),
+            lam=jnp.zeros((n, 2)), rgb=jnp.zeros((n, 3)),
+            view_cos=jnp.zeros((n,)))
+        padded = bin_instances_counting(
+            prep_view, width=width, height=rows_per_dev * tile,
+            cfg=cfg_local, rect_cap=cfg.rect_cap)
+
+        blend = _make_blend_gather(ca, cv, num_tiles_local, grid_x, tile,
+                                   cfg.chunk, n, m_local, cfg.rect_cap,
+                                   interpret)
+        out, weights = blend(slab, padded.gaussian_id, padded.inst_valid,
+                             padded.tile_start, padded.tile_count,
+                             padded.order, padded.gauss_pos,
+                             padded.gauss_nslots)
+        # per-gaussian weight sums span all devices' tiles
+        weights = jax.lax.psum(weights, axis)
+        radii = jax.lax.all_gather(prep.radius, axis, tiled=True)
+        # gather the tile outputs so assembly sees a replicated array
+        # (differentiates cleanly: all_gather^T = psum-scatter)
+        out_full = jax.lax.all_gather(out, axis, tiled=True)
+        return out_full, weights, radii
+
+    # slab column indices for the translation fix-up
+    NG_ADEPTH = 12 + 6      # geometry(12) + rgb(3) + normal(3) => adepth
+    NG_C2 = 12 + 8          # ... + c1 => c2
+
+    spec_n = P(axis)
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec_n, spec_n, spec_n, spec_n, spec_n,
+                  spec_n, spec_n, spec_n, spec_n),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    # under jit, XLA reshards inputs to the in_specs automatically
+    fn = jax.jit(fn)
+
+    out, weights, radii = fn(means3d, scales, quats, opacity,
+                             shs if shs is not None
+                             else jnp.zeros((n, 0, 3)),
+                             colors, features, vfeatures, mask)
+    # out: [ndev * T_local, 256, CO] replicated tiles -> full image
+    s = 0 if features is None else features.shape[1]
+    vs = 0 if vfeatures is None else vfeatures.shape[1]
+    ca = 9 + s
+    cv = vs // 4
+    co = ca + cv + 2
+    img = out.reshape(grid_y_total, grid_x, tile, tile, co)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(co, grid_y_total * tile,
+                                               grid_x * tile)
+    img = img[:, :height, :width]
+
+    color_raw, normal = img[0:3], img[3:6]
+    adepth, c1img, c2img = img[6], img[7], img[8]
+    feat = img[9:9 + s]
+    vfeat = img[ca:ca + cv]
+    logT = img[ca + cv]
+    n_contrib = img[ca + cv + 1].astype(jnp.int32)
+
+    vv, uu = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32), indexing="ij")
+    # local-row pixel maps: py within each device slice
+    py_local = vv % (rows_per_dev * tile)
+    D = adepth + uu * c1img + py_local * c2img
+    T = jnp.minimum(1.0 - 1e-6, jnp.exp(logT))
+    from svgir_tpu.ops.dense_ref import RenderBuffers
+    return RenderBuffers(
+        color=color_raw + T[None] * bg[:, None, None], normal=normal,
+        depth=common.finalize_depth(D, T, cfg.normalize_depth)[None],
+        opacity=(1.0 - T)[None], feature=feat, vfeature=vfeat, final_t=T,
+        n_contrib=n_contrib, weights=weights[:, None], radii=radii)
