@@ -242,3 +242,50 @@ def load_scene(path: str, **kw) -> SceneData:
     if os.path.exists(os.path.join(path, "transforms_train.json")):
         return read_blender_scene(path, **kw)
     raise ValueError(f"unrecognized scene layout at {path}")
+
+
+def read_synthetic4relight_scene(path: str, eval_split: bool = True,
+                                 resolution: int = -1,
+                                 max_cameras: Optional[int] = None
+                                 ) -> SceneData:
+    """Synthetic4Relight layout (dataset_readers.py readNeRFSyntheticInfo2
+    :611+): transforms_{train,test}.json with ``_rgba.png`` frames plus
+    per-frame ``_albedo.png``; albedo GT is exposed for relighting eval via
+    ``albedo_paths``."""
+    scene = read_blender_scene(path, white_background=True,
+                               eval_split=eval_split, extension=".png",
+                               resolution=resolution, max_cameras=max_cameras)
+    # attach albedo paths where present (consumed by eval.relighting's
+    # gt_albedo_fn)
+    albedos = []
+    for cam in scene.test_cameras or scene.train_cameras:
+        name = cam.image_name
+        for suffix in ("_albedo.png", "albedo.png"):
+            cand = os.path.join(path, "test" if scene.test_cameras
+                                else "train", name.replace("_rgba", "")
+                                + suffix)
+            if os.path.exists(cand):
+                albedos.append(cand)
+                break
+        else:
+            albedos.append(None)
+    scene.ply_path = scene.ply_path  # unchanged
+    scene.albedo_paths = albedos     # type: ignore[attr-defined]
+    return scene
+
+
+def make_gt_albedo_fn(scene: SceneData):
+    """gt_albedo_fn(idx) -> (albedo [3,H,W], mask [1,H,W]) for
+    eval.relighting.calibrate_albedo_scale, or None if no GT albedo."""
+    paths = getattr(scene, "albedo_paths", None)
+    if not paths or all(p is None for p in paths):
+        return None
+    cams = scene.test_cameras or scene.train_cameras
+
+    def fn(idx):
+        img = load_image_rgb(paths[idx])[..., :3]
+        cam = cams[idx]
+        img = _maybe_resize(img, cam.width, cam.height)
+        return (np.clip(img, 0, 1).transpose(2, 0, 1).astype(np.float32),
+                np.asarray(cam.image_mask))
+    return fn

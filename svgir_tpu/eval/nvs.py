@@ -67,3 +67,35 @@ def render_set(out_dir: str, name: str, cameras: List, render_one,
     with open(os.path.join(out_dir, name, "metrics.json"), "w") as f:
         json.dump(out, f, indent=2)
     return out
+
+
+def save_training_vis(out_dir: str, iteration: int, results: Dict,
+                      gt_image=None) -> None:
+    """Training visualization grid (train.py save_training_vis :319-363):
+    tiles the available buffers side by side into one PNG."""
+    import numpy as np
+
+    tiles = []
+    keys = ["render", "pbr", "base_color", "roughness", "diffuse",
+            "local_lights", "visibility", "normal", "pseudo_normal",
+            "depth", "opacity"]
+    for key in keys:
+        if key not in results:
+            continue
+        img = np.asarray(results[key])
+        if key == "depth":
+            d = img[0]
+            rng = d.max() - d.min() + 1e-8
+            img = np.stack([(d - d.min()) / rng] * 3)
+        elif key in ("normal", "pseudo_normal"):
+            img = img * 0.5 + 0.5
+        elif img.shape[0] == 1:
+            img = np.repeat(img, 3, 0)
+        tiles.append(np.clip(img[:3], 0, 1))
+    if gt_image is not None:
+        tiles.insert(0, np.asarray(gt_image))
+    if not tiles:
+        return
+    grid = np.concatenate(tiles, axis=2)   # side by side
+    os.makedirs(out_dir, exist_ok=True)
+    save_image(os.path.join(out_dir, f"iter_{iteration:06d}.png"), grid)

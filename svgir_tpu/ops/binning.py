@@ -137,7 +137,7 @@ def pad_to_chunks(binned: BinnedInstances, *, chunk: int,
 def bin_instances_counting(prep: Preprocessed, *,
                            width: int, height: int,
                            cfg: RasterConfig = RasterConfig(),
-                           rect_cap: int = 32,
+                           rect_cap: int = 16,
                            gauss_chunk: int = 4096) -> PaddedInstances:
     """Sort-free binning: counting placement (TPU-native).
 
@@ -178,55 +178,24 @@ def bin_instances_counting(prep: Preprocessed, *,
     touched = jnp.where(valid_s, (x1 - x0) * (y1 - y0), 0)
     touched = jnp.minimum(touched, rect_cap)
 
-    # ---- chunked depth ranks; per-tile counts fall out of the scan carry --
+    # ---- Pallas two-pass binning: counts, then prefix ranks + slots ------
+    gauss_chunk = 512
     npad = (-n) % gauss_chunk
     def pad(a):
         return jnp.concatenate([a, jnp.zeros((npad,), a.dtype)])
     x0p, y0p, x1p, y1p = pad(x0), pad(y0), pad(x1), pad(y1)
     touched_p = pad(touched)
     gid_p = pad(jnp.where(valid_s, order, -1).astype(jnp.int32))
-    ns = n + npad
-    nchunks = ns // gauss_chunk
 
-    tx_iota = jnp.arange(grid_x, dtype=jnp.int32)
-    ty_iota = jnp.arange(grid_y, dtype=jnp.int32)
-    ks = jnp.arange(rect_cap, dtype=jnp.int32)
-
-    def body(carry, c):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * gauss_chunk,
-                                                    gauss_chunk)
-        cx0, cy0, cx1, cy1 = sl(x0p), sl(y0p), sl(x1p), sl(y1p)
-        cov_x = ((tx_iota[None] >= cx0[:, None])
-                 & (tx_iota[None] < cx1[:, None]))
-        cov_y = ((ty_iota[None] >= cy0[:, None])
-                 & (ty_iota[None] < cy1[:, None]))
-        cov = (cov_y[:, :, None] & cov_x[:, None, :]).reshape(
-            gauss_chunk, num_tiles).astype(jnp.int32)
-        incl = jnp.cumsum(cov, axis=0)
-        excl = incl - cov + carry[None]
-
-        w_r = jnp.maximum(cx1 - cx0, 1)
-        tx = cx0[:, None] + ks[None] % w_r[:, None]
-        ty = cy0[:, None] + ks[None] // w_r[:, None]
-        t_inst = jnp.clip(ty * grid_x + tx, 0, num_tiles - 1)
-        rank = jnp.take_along_axis(excl, t_inst, axis=1)
-        return carry + incl[-1], (rank, t_inst)
-
-    carry0 = jnp.zeros((num_tiles,), jnp.int32)
-    counts, (rank_all, tinst_all) = jax.lax.scan(body, carry0,
-                                                 jnp.arange(nchunks))
-    # NOTE: counts include rect_cap-truncated coverage; truncated instances
-    # leave padding holes, which the kernel treats as no-ops.
-    padded_counts = ((counts + chunk - 1) // chunk) * chunk
-    tile_start = jnp.cumsum(padded_counts) - padded_counts
-    total = tile_start[-1] + padded_counts[-1]
+    from svgir_tpu.ops.binning_pallas import compute_slots
+    interpret = jax.default_backend() != "tpu"
+    pos, tile_start, padded_counts, total = compute_slots(
+        x0p, y0p, x1p, y1p, touched_p, grid_x=grid_x, grid_y=grid_y,
+        rect_cap=rect_cap, chunk=chunk, m=m, gauss_chunk=gauss_chunk,
+        interpret=interpret)
     overflow = total > m
     total = jnp.minimum(total, m)
-
-    rank = rank_all.reshape(ns, rect_cap)
-    t_inst = tinst_all.reshape(ns, rect_cap)
-    ok = ks[None] < touched_p[:, None]
-    pos = jnp.where(ok, tile_start[t_inst] + rank, m)          # [Ns, RC]
+    pos = jnp.minimum(pos, m)     # capacity overflow slots -> dropped
 
     out_gid = jnp.full((m,), -1, jnp.int32)
     out_gid = out_gid.at[pos.reshape(-1)].set(
