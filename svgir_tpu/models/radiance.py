@@ -30,7 +30,9 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
                   opacity: jax.Array, shs: jax.Array, *,
                   sample_num: int = 64, key: Optional[jax.Array] = None,
                   valid: Optional[jax.Array] = None, k_hits: int = 16,
-                  ray_chunk: int = 16384, gauss_chunk: int = 512) -> Dict:
+                  ray_chunk: int = 16384, gauss_chunk: int = 512,
+                  use_grid: Optional[bool] = None, grid_t_max: float = 2.0
+                  ) -> Dict:
     """Trace hemisphere samples for every surfel.
 
     Returns dict: radiance [N,S,3], visibility [N,S,1], incident_dirs
@@ -51,8 +53,25 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
     r_total = n * s
     nchunks = -(-r_total // ray_chunk)
 
+    # brute force is exact but O(N * rays); switch to the uniform-grid
+    # tracer (identical outputs, see ops/grid_tracer.py) at scale
+    if use_grid is None:
+        use_grid = n > 20_000
+    grid = None
+    if use_grid:
+        from svgir_tpu.ops import grid_tracer
+        res = grid_tracer.auto_res(geo)
+        grid = grid_tracer.build_grid(geo, res=res, cell_cap=128,
+                                      max_cells_per_gauss=64)
+
     def run(o, d, si):
-        hits = tracing.nearest_hits(geo, o, d, chunk=gauss_chunk, k=k_hits)
+        if grid is not None:
+            from svgir_tpu.ops import grid_tracer
+            hits = grid_tracer.nearest_hits_grid(geo, grid, o, d,
+                                                 t_max=grid_t_max, k=k_hits)
+        else:
+            hits = tracing.nearest_hits(geo, o, d, chunk=gauss_chunk,
+                                        k=k_hits)
         return tracing.radiance_march(hits, si, shs, means, o)
 
     run_j = jax.jit(run)

@@ -406,3 +406,60 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
         interpret=interpret,
     )(tile_start, tile_count, slab, g_out, logt_final, g_wsum)
     return d_slab
+
+
+# ---------------------------------------------------------------------------
+# column pad / slice copies (layout-pinning helpers)
+# ---------------------------------------------------------------------------
+# The instance gathers run at XLA-gather speed (~31 GB/s measured), so row
+# width matters: slabs are packed to a 32-multiple for the gathers and
+# padded to the kernel's 128-lane DMA width by these copies (which run at
+# memory bandwidth and pin standard layouts on both sides).
+
+def _pad_cols_kernel(x_ref, o_ref, *, kin):
+    blk = x_ref.shape[0]
+    o_ref[:, :] = jnp.concatenate(
+        [x_ref[:, :], jnp.zeros((blk, o_ref.shape[1] - kin), jnp.float32)],
+        axis=1)
+
+
+def pad_cols(x: jax.Array, kout: int, *, block: int = 1024,
+             interpret: bool = False) -> jax.Array:
+    """[M, kin] -> [M, kout] zero-padded (kin <= kout)."""
+    m, kin = x.shape
+    if kin == kout:
+        return x
+    assert m % block == 0
+    return pl.pallas_call(
+        functools.partial(_pad_cols_kernel, kin=kin),
+        grid=(m // block,),
+        in_specs=[pl.BlockSpec((block, kin), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, kout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, kout), jnp.float32),
+        interpret=interpret,
+    )(x)
+
+
+def _slice_cols_kernel(x_ref, o_ref):
+    o_ref[:, :] = x_ref[:, :o_ref.shape[1]]
+
+
+def slice_cols(x: jax.Array, kout: int, *, block: int = 1024,
+               interpret: bool = False) -> jax.Array:
+    """[M, kin] -> [M, kout] column slice (kout <= kin)."""
+    m, kin = x.shape
+    if kin == kout:
+        return x
+    assert m % block == 0
+    return pl.pallas_call(
+        _slice_cols_kernel,
+        grid=(m // block,),
+        in_specs=[pl.BlockSpec((block, kin), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, kout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, kout), jnp.float32),
+        interpret=interpret,
+    )(x)

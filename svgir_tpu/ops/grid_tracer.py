@@ -1,0 +1,246 @@
+"""Uniform-grid accelerated ray tracing (the LBVH replacement at scale).
+
+SURVEY.md §7 P4: "replace [the stack-based LBVH] with a TPU-idiomatic
+culling structure with identical outputs — a uniform-grid candidate
+structure queried with vectorized tests".  Build once per bake:
+
+* gaussians are binned into a ``res^3`` cell grid by their ±3σ AABBs
+  (cells capped per gaussian; one bake-time sort builds the cell lists);
+* queries walk each ray's cells at half-cell steps, test the cell's
+  candidate list with the exact surfel math from ``ops/tracing.py``, and
+  accept hits only inside the current step's t-span (each hit lies in
+  exactly one span, so duplicates across neighboring cells cancel).
+
+Outputs match the brute-force tracer (the oracle) wherever candidates fit
+the per-cell cap; `overflow` flags cells that didn't.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from svgir_tpu.ops import tracing
+
+
+class TraceGrid(NamedTuple):
+    cell_ids: jax.Array     # [C, L] int32 gaussian ids (-1 padding)
+    lo: jax.Array           # [3] grid origin
+    inv_cell: jax.Array     # [3] 1 / cell size
+    res: int
+    cell_cap: int
+    overflow: jax.Array     # [] bool — some cell exceeded the cap
+
+
+def auto_res(geo: tracing.SurfelGeometry, *, sigma: float = 3.0,
+             target_span: float = 2.0, max_res: int = 64) -> int:
+    """Pick a grid resolution so the MEDIAN surfel spans ~target_span cells
+    per axis (keeps per-gaussian cell lists within the cap)."""
+    import numpy as np
+    sc = np.asarray(geo.scales)[np.asarray(geo.valid)]
+    pts = np.asarray(geo.means)[np.asarray(geo.valid)]
+    if len(sc) == 0:
+        return 16
+    med = np.median(sc.max(axis=1))
+    extent = float((pts.max(0) - pts.min(0)).max()) + 2 * sigma * med + 1e-6
+    res = int(extent / max(2 * sigma * med / target_span, 1e-6))
+    return int(np.clip(res, 4, max_res))
+
+
+def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
+               cell_cap: int = 64, max_cells_per_gauss: int = 64,
+               sigma: float = 3.0) -> TraceGrid:
+    """Bin gaussians into the grid by ±sigma·scale AABBs (bake-time)."""
+    n = geo.means.shape[0]
+    # world AABB from valid gaussians; per-axis half-widths from the rotated
+    # ±sigma corners (|R| @ (sigma*s)), matching the reference's leaf AABBs
+    # (bvh/__init__.py:34-52) — flat surfels get ~zero thickness along the
+    # normal instead of an inflated isotropic box
+    big = 1e30
+    pts = jnp.where(geo.valid[:, None], geo.means, 0.0)
+    r = sigma * jnp.einsum("nij,nj->ni", jnp.abs(geo.rot), geo.scales)
+    r = jnp.where(geo.valid[:, None], r, 0.0)
+    lo = jnp.min(jnp.where(geo.valid[:, None], pts - r, big), axis=0)
+    hi = jnp.max(jnp.where(geo.valid[:, None], pts + r, -big), axis=0)
+    extent = jnp.maximum(hi - lo, 1e-6)
+    inv_cell = res / extent
+
+    # per-gaussian covered cell ranges
+    c0 = jnp.clip(((pts - r - lo) * inv_cell).astype(jnp.int32), 0, res - 1)
+    c1 = jnp.clip(((pts + r - lo) * inv_cell).astype(jnp.int32), 0, res - 1)
+    span = c1 - c0 + 1
+    ncells = jnp.where(geo.valid, span[:, 0] * span[:, 1] * span[:, 2], 0)
+    ncells = jnp.minimum(ncells, max_cells_per_gauss)
+
+    k = jnp.arange(max_cells_per_gauss)
+    sx, sy = span[:, 0:1], span[:, 1:2]
+    dx = k[None] % sx
+    dy = (k[None] // sx) % sy
+    dz = k[None] // (sx * sy)
+    cell = ((c0[:, 2:3] + dz) * res + (c0[:, 1:2] + dy)) * res \
+        + (c0[:, 0:1] + dx)                                   # [N, K]
+    valid_pair = k[None] < ncells[:, None]
+    num_cells = res ** 3
+    cell = jnp.where(valid_pair, cell, num_cells)
+
+    # bake-time sort of (cell, gaussian) pairs -> per-cell contiguous lists
+    gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                           cell.shape)
+    cell_f, gid_f = cell.reshape(-1), gid.reshape(-1)
+    cell_s, gid_s = jax.lax.sort((cell_f.astype(jnp.int32), gid_f),
+                                 num_keys=1, is_stable=True)
+    starts = jnp.searchsorted(cell_s, jnp.arange(num_cells, dtype=jnp.int32),
+                              side="left")
+    counts = jnp.searchsorted(cell_s, jnp.arange(num_cells, dtype=jnp.int32),
+                              side="right") - starts
+    overflow = (counts > cell_cap).any()
+
+    slot = jnp.arange(cell_cap)
+    src = starts[:, None] + slot[None]                        # [C, L]
+    ok = slot[None] < jnp.minimum(counts, cell_cap)[:, None]
+    src = jnp.clip(src, 0, cell_s.shape[0] - 1)
+    ids = jnp.where(ok, gid_s[src], -1)
+    return TraceGrid(cell_ids=ids, lo=lo, inv_cell=inv_cell, res=res,
+                     cell_cap=cell_cap, overflow=overflow)
+
+
+def _gather_candidates(grid: TraceGrid, pos: jax.Array) -> jax.Array:
+    """Cell candidate ids [R, L] at world positions [R, 3]."""
+    c = jnp.clip(((pos - grid.lo) * grid.inv_cell).astype(jnp.int32),
+                 0, grid.res - 1)
+    cell = (c[:, 2] * grid.res + c[:, 1]) * grid.res + c[:, 0]
+    return grid.cell_ids[cell]
+
+
+def _test_candidates(geo: tracing.SurfelGeometry, ids, rays_o, rays_d,
+                     t_lo, t_hi):
+    """Exact surfel tests for candidate ids [R, L] within t-span
+    [t_lo, t_hi) (per ray).  Returns per-(ray, cand) dict."""
+    idx = jnp.clip(ids, 0, geo.means.shape[0] - 1)
+    sub = tracing.SurfelGeometry(*[x[idx] for x in geo])     # [R, L, ...]
+    n = sub.normal
+    denom = jnp.sum(n * rays_d[:, None], -1)
+    denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+    t_plane = jnp.sum((sub.means - rays_o[:, None]) * n, -1) / denom
+    pos = rays_o[:, None] + t_plane[..., None] * rays_d[:, None]
+    local = jnp.einsum("rgij,rgi->rgj", sub.rot, pos - sub.means)
+    sx = jnp.maximum(sub.scales[..., 0], 1e-12)
+    sy = jnp.maximum(sub.scales[..., 1], 1e-12)
+    u = local[..., 0] / sx
+    v = local[..., 1] / sy
+    swap = u < v
+    u2, v2 = jnp.where(swap, v, u), jnp.where(swap, u, v)
+    uv = jnp.stack([jnp.clip(u2 * 0.5 + 0.5, 0.001, 0.999),
+                    jnp.clip(v2 * 0.5 + 0.5, 0.001, 0.999)], -1)
+    dis = u * u + v * v
+
+    ic = sub.inv_cov
+    pd = sub.means - rays_o[:, None] - t_plane[..., None] * rays_d[:, None]
+    px, py, pz = pd[..., 0], pd[..., 1], pd[..., 2]
+    power = -0.5 * (ic[..., 0] * px * px + ic[..., 3] * py * py
+                    + ic[..., 5] * pz * pz
+                    + 2 * (ic[..., 1] * px * py + ic[..., 2] * px * pz
+                           + ic[..., 4] * py * pz))
+    alpha = jnp.minimum(tracing.ALPHA_MAX,
+                        sub.opacity * jnp.exp(power))
+    facing = jnp.sum(rays_d[:, None] * n, -1) < 0.0
+    ok = ((ids >= 0) & sub.valid & (dis <= 9.0) & (power <= 0)
+          & (alpha >= tracing.ALPHA_MIN) & facing
+          & (t_plane >= t_lo[:, None]) & (t_plane < t_hi[:, None]))
+    return {"t": jnp.where(ok, t_plane, jnp.inf), "alpha": alpha, "uv": uv,
+            "ok": ok, "idx": ids}
+
+
+def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
+                      rays_o: jax.Array, rays_d: jax.Array, *,
+                      t_max: float = 2.0, k: int = 16,
+                      n_steps: Optional[int] = None) -> Dict:
+    """Grid-walk replacement for tracing.nearest_hits (same output dict).
+
+    Marches positions at half-cell steps up to ``t_max``; each step tests
+    the local cell list within its own t-span so every surfel is accepted
+    at most once.
+    """
+    if n_steps is None:
+        # covers the grid diagonal; resolved OUTSIDE jit (grid.res is a
+        # python int only until the tuple crosses a jit boundary)
+        n_steps = 4 * int(grid.res)
+    return _nearest_hits_grid(geo, grid, rays_o, rays_d, t_max=t_max, k=k,
+                              n_steps=n_steps)
+
+
+@partial(jax.jit, static_argnames=("k", "n_steps"))
+def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps):
+    r = rays_o.shape[0]
+    cell_size = 1.0 / grid.inv_cell
+    dt = jnp.min(cell_size) * 0.5      # half-cell steps: no diagonal misses
+
+    init = {
+        "t": jnp.full((r, k), jnp.inf),
+        "idx": jnp.full((r, k), -1, jnp.int32),
+        "alpha": jnp.zeros((r, k)),
+        "uv": jnp.zeros((r, k, 2)),
+    }
+
+    def body(carry, j):
+        t_lo = j * dt
+        t_hi = jnp.minimum((j + 1) * dt, t_max)
+        mid = rays_o + (t_lo + 0.5 * dt) * rays_d
+        ids = _gather_candidates(grid, mid)
+        cand = _test_candidates(geo, ids, rays_o, rays_d,
+                                jnp.full((r,), t_lo), jnp.full((r,), t_hi))
+        all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
+        all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
+        all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]], axis=1)
+        all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
+        neg_top, sel = jax.lax.top_k(-all_t, k)
+        take = jnp.take_along_axis
+        return {
+            "t": -neg_top,
+            "idx": take(all_idx, sel, axis=1),
+            "alpha": take(all_alpha, sel, axis=1),
+            "uv": take(all_uv, sel[..., None], axis=1),
+        }, None
+
+    hits, _ = jax.lax.scan(body, init, jnp.arange(n_steps))
+    return hits
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def trace_visibility_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
+                          rays_o: jax.Array, rays_d: jax.Array, *,
+                          t_max: float = 20.0, n_steps: int = 256) -> Dict:
+    """Grid-walk visibility (trace.cu semantics; see tracing.py for the
+    order-independence argument)."""
+    r = rays_o.shape[0]
+    cell_size = 1.0 / grid.inv_cell
+    dt = jnp.min(cell_size) * 0.5
+
+    def body(carry, j):
+        log_t, count = carry
+        t_lo = jnp.maximum(j * dt, 0.01)     # skip t < 0.01 (trace.cu:238)
+        t_hi = jnp.minimum((j + 1) * dt, t_max)
+        mid = rays_o + (j * dt + 0.5 * dt) * rays_d
+        ids = _gather_candidates(grid, mid)
+        cand = _test_candidates(geo, ids, rays_o, rays_d,
+                                jnp.full((r,), t_lo), jnp.full((r,), t_hi))
+        # visibility wants opacity >= 1/255 pre-exp (trace.cu:233) and no
+        # ellipse test — accept on power<=0 & facing & t window
+        idx = jnp.clip(cand["idx"], 0, geo.means.shape[0] - 1)
+        ok = ((cand["idx"] >= 0) & geo.valid[idx]
+              & (geo.opacity[idx] >= tracing.ALPHA_MIN)
+              & jnp.isfinite(cand["t"]))
+        a = jnp.where(ok, jnp.minimum(cand["alpha"], tracing.ALPHA_MAX), 0.0)
+        log_t = log_t + jnp.sum(jnp.log1p(-a), axis=1)
+        count = count + ok.sum(axis=1)
+        return (log_t, count), None
+
+    (log_t, count), _ = jax.lax.scan(
+        body, (jnp.zeros((r,)), jnp.zeros((r,), jnp.int32)),
+        jnp.arange(n_steps))
+    vis = jnp.exp(log_t)
+    vis = jnp.where(vis < 0.9, 0.0, vis)
+    return {"visibility": vis[:, None], "contribute": count[:, None]}

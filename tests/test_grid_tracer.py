@@ -1,0 +1,46 @@
+"""Grid tracer == brute-force tracer (SURVEY §7 P4 acceptance)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svgir_tpu.ops import grid_tracer, tracing
+from svgir_tpu.utils.transforms import normal_to_rotation, normalize
+
+
+def _scene(n=300, radius=0.5, scale=0.08):
+    key = jax.random.PRNGKey(0)
+    dirs = normalize(jax.random.normal(key, (n, 3)))
+    means = dirs * radius
+    quats = normal_to_rotation(-dirs)
+    scales = jnp.full((n, 3), scale).at[:, 2].set(1e-9)
+    opac = jax.random.uniform(jax.random.PRNGKey(1), (n,), minval=0.3,
+                              maxval=0.9)
+    return tracing.build_surfel_geometry(means, scales, quats, opac)
+
+
+def test_grid_matches_brute():
+    geo = _scene()
+    res = grid_tracer.auto_res(geo)
+    grid = grid_tracer.build_grid(geo, res=res, cell_cap=128,
+                                  max_cells_per_gauss=128)
+    assert not bool(grid.overflow)
+
+    ro = 0.02 * jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    rd = normalize(jax.random.normal(jax.random.PRNGKey(3), (64, 3)))
+
+    hb = tracing.nearest_hits(geo, ro, rd, k=8)
+    hg = grid_tracer.nearest_hits_grid(geo, grid, ro, rd, t_max=2.0, k=8)
+    tb, tg = np.asarray(hb["t"]), np.asarray(hg["t"])
+    ib, ig = np.asarray(hb["idx"]), np.asarray(hg["idx"])
+    for r in range(64):
+        fb = tb[r][np.isfinite(tb[r])]
+        fg = tg[r][np.isfinite(tg[r])]
+        assert len(fb) == len(fg)
+        np.testing.assert_allclose(fb, fg, atol=1e-5)
+        assert (ib[r][:len(fb)] == ig[r][:len(fg)]).all()
+
+    vb = tracing.trace_visibility(geo, ro + 0.05 * rd, rd)
+    vg = grid_tracer.trace_visibility_grid(geo, grid, ro + 0.05 * rd, rd,
+                                           n_steps=4 * res)
+    np.testing.assert_allclose(vg["visibility"], vb["visibility"], atol=1e-5)
