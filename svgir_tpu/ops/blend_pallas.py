@@ -134,7 +134,7 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     px, py = _pixel_coords(t, grid_x, tile)
     su = _tri_strict_upper(chunk)
 
-    out_ref[0] = jnp.zeros((PIX, ca + cv + 2), jnp.float32)
+    out_ref[0] = jnp.zeros((PIX, ca + cv + 3), jnp.float32)
 
     def body(c, logT):
         copy = pltpu.make_async_copy(
@@ -173,8 +173,33 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
 
         return logT + jnp.sum(m["loga"], axis=1, keepdims=True)
 
-    logT = jax.lax.fori_loop(0, nchunks, body, jnp.zeros((PIX, 1), jnp.float32))
+    # early exit once every pixel saturates (all logT < log 1e-4):
+    # remaining instances can no longer contribute (forward.cu:550-554)
+    def cond(state):
+        c, logT = state
+        return (c < nchunks) & (jnp.max(logT) >= LOG_T_EPS)
+
+    def wbody(state):
+        c, logT = state
+        return c + 1, body(c, logT)
+
+    c_stop, logT = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), jnp.zeros((PIX, 1), jnp.float32)))
+
+    # zero the weight rows of skipped chunks (their instances blended
+    # nothing; the buffer is uninitialized memory otherwise)
+    def zbody(c, _):
+        wrow_vmem[:, :] = jnp.zeros((1, chunk), jnp.float32)
+        zcopy = pltpu.make_async_copy(
+            wrow_vmem, wsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)], w_sem)
+        zcopy.start()
+        zcopy.wait()
+        return 0
+
+    jax.lax.fori_loop(c_stop, nchunks, zbody, 0)
     out_ref[0, :, ca + cv:ca + cv + 1] = logT
+    out_ref[0, :, ca + cv + 2:ca + cv + 3] = jnp.full(
+        (PIX, 1), 1.0, jnp.float32) * c_stop.astype(jnp.float32)
 
 
 def blend_forward(slab: jax.Array, tile_start: jax.Array,
@@ -183,7 +208,8 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
                   chunk: int = 128, interpret: bool = False):
     """Run the forward blend.  ``slab`` is ROW-major [M, KR] (instance rows)
     so the producing gather writes contiguously; chunks are transposed to
-    [KR, chunk] inside the kernel.  Returns (out [T,256,CA+CV+2],
+    [KR, chunk] inside the kernel.  Returns (out [T, 256, CA+CV+3] — plain
+    accums, vertex accums, final logT, n_contrib, chunks-processed — and
     wsum [1, M])."""
     m, kr = slab.shape
     kernel = functools.partial(_fwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
@@ -193,7 +219,7 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, PIX, ca + cv + 2), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, PIX, ca + cv + 3), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -207,7 +233,7 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
     out, wsum = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, PIX, ca + cv + 2), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, PIX, ca + cv + 3), jnp.float32),
             jax.ShapeDtypeStruct((1, m), jnp.float32),
         ),
         grid_spec=grid_spec,
@@ -221,7 +247,7 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, logt_ref,
+def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
                 gwsum_hbm, dslab_hbm,
                 slab_vmem, grow_vmem, dslab_vmem, dslab_rows, dma_sem,
                 g_sem, d_sem,
@@ -244,10 +270,13 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, logt_ref,
     g_plain = gout_ref[0, :, 0:ca]                       # [PIX, CA]
     g_vf = gout_ref[0, :, ca:ca + cv] if cv else None
     g_logt = gout_ref[0, :, ca + cv:ca + cv + 1]         # [PIX, 1]
+    # forward stopped after nchunks_eff chunks (early exit); only those
+    # entered logT_final and produced weights
+    nchunks_eff = meta_ref[0, 0, 2].astype(jnp.int32)
 
     def body(i, carry):
         logT_after, suf = carry
-        c = nchunks - 1 - i
+        c = nchunks_eff - 1 - i
         copy = pltpu.make_async_copy(
             slab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk), :], slab_vmem,
             dma_sem)
@@ -360,8 +389,21 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, logt_ref,
         new_suf = suf + jnp.sum(s_term, axis=1, keepdims=True)
         return (new_logT, new_suf)
 
-    logT_final = logt_ref[0, :, 0:1]
-    jax.lax.fori_loop(0, nchunks, body, (logT_final, g_logt))
+    logT_final = meta_ref[0, :, 0:1]
+    jax.lax.fori_loop(0, nchunks_eff, body, (logT_final, g_logt))
+
+    # chunks skipped by the forward early exit contributed nothing:
+    # their instance gradients are zero (fill the uninitialized rows)
+    def zbody(c, _):
+        dslab_rows[:, :] = jnp.zeros_like(dslab_rows)
+        zcopy = pltpu.make_async_copy(
+            dslab_rows, dslab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk), :],
+            d_sem)
+        zcopy.start()
+        zcopy.wait()
+        return 0
+
+    jax.lax.fori_loop(nchunks_eff, nchunks, zbody, 0)
 
 
 def blend_backward(slab: jax.Array, tile_start: jax.Array,
@@ -381,10 +423,10 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # slab
-            pl.BlockSpec((1, PIX, ca + cv + 2), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, PIX, ca + cv + 3), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # g_out
-            pl.BlockSpec((1, PIX, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),                # logT final
+            pl.BlockSpec((1, PIX, 3), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                # logT/nc/cstop
             pl.BlockSpec(memory_space=pl.ANY),                 # g_wsum
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),           # d_slab

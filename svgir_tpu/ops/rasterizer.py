@@ -45,16 +45,16 @@ def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret):
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
         wsum = jnp.where(inst_valid[None, :], wsum, 0.0)
-        logt = out[..., ca + cv:ca + cv + 1]
-        return (out, wsum), (slab, tile_start, tile_count, inst_valid, logt)
+        meta = out[..., ca + cv:ca + cv + 3]
+        return (out, wsum), (slab, tile_start, tile_count, inst_valid, meta)
 
     def blend_bwd(res, cotangents):
-        slab, tile_start, tile_count, inst_valid, logt = res
+        slab, tile_start, tile_count, inst_valid, meta = res
         g_out, g_wsum = cotangents
         g_wsum = jnp.where(inst_valid[None, :], g_wsum, 0.0)
         d_slab = blend_pallas.blend_backward(
-            slab, tile_start, tile_count, g_out, logt, g_wsum, **kw)
-        d_slab = jnp.where(inst_valid[None, :], d_slab, 0.0)
+            slab, tile_start, tile_count, g_out, meta, g_wsum, **kw)
+        d_slab = jnp.where(inst_valid[:, None], d_slab, 0.0)
         return d_slab, None, None, None
 
     blend.defvjp(blend_fwd, blend_bwd)
@@ -103,9 +103,9 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
         weights = _per_gaussian(wsum[0], gauss_pos, gauss_nslots, order)
-        logt = out[..., ca + cv:ca + cv + 1]
+        meta = out[..., ca + cv:ca + cv + 3]
         res = (slab_rows, gid, inst_valid, tile_start, tile_count, order,
-               gauss_pos, gauss_nslots, logt)
+               gauss_pos, gauss_nslots, meta)
         return (out, weights), res
 
     def blend_bwd(res, cotangents):
@@ -261,7 +261,7 @@ def rasterize(
         weights = jax.ops.segment_sum(wsum[0], gid, num_segments=n)
 
     # ---- assemble tile blocks into images --------------------------------
-    co = ca + cv + 2
+    co = ca + cv + 3
     img = out.reshape(grid_y, grid_x, tile, tile, co)
     img = img.transpose(4, 0, 2, 1, 3).reshape(co, grid_y * tile,
                                                grid_x * tile)

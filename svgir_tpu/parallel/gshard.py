@@ -155,7 +155,7 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
     vs = 0 if vfeatures is None else vfeatures.shape[1]
     ca = 9 + s
     cv = vs // 4
-    co = ca + cv + 2
+    co = ca + cv + 3
     img = out.reshape(grid_y_total, grid_x, tile, tile, co)
     img = img.transpose(4, 0, 2, 1, 3).reshape(co, grid_y_total * tile,
                                                grid_x * tile)
