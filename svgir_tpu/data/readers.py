@@ -239,7 +239,17 @@ def load_scene(path: str, **kw) -> SceneData:
     if os.path.exists(os.path.join(path, "sparse")):
         kw.pop("white_background", None)
         return read_colmap_scene(path, **kw)
+    if os.path.exists(os.path.join(path, "inputs", "model", "sparse.ply")):
+        raise NotImplementedError(
+            "render_relight/sfm_scene layouts (DTU-style) not wired yet")
     if os.path.exists(os.path.join(path, "transforms_train.json")):
+        # Synthetic4Relight ships per-frame *_albedo.png GT
+        probe = os.path.join(path, "test")
+        if os.path.isdir(probe) and any(
+                f.endswith("_albedo.png") for f in os.listdir(probe)[:50]):
+            return read_synthetic4relight_scene(
+                path, **{k: v for k, v in kw.items()
+                         if k in ("eval_split", "resolution", "max_cameras")})
         return read_blender_scene(path, **kw)
     raise ValueError(f"unrecognized scene layout at {path}")
 
@@ -289,3 +299,33 @@ def make_gt_albedo_fn(scene: SceneData):
         return (np.clip(img, 0, 1).transpose(2, 0, 1).astype(np.float32),
                 np.asarray(cam.image_mask))
     return fn
+
+
+def read_stanford_orb_scene(path: str, white_background: bool = False,
+                            eval_split: bool = True,
+                            extension: str = ".exr", benchmark_size: int = 512,
+                            resolution: int = -1,
+                            max_cameras: Optional[int] = None) -> SceneData:
+    """StanfordORB layout (readStanfordORBInfo, dataset_readers.py:515-560):
+    transforms_{train,test}.json with EXR frames at a fixed benchmark size;
+    random init cloud in [-0.5, 0.5]^3."""
+    train = read_blender_cameras(path, "transforms_train.json",
+                                 white_background, extension, resolution,
+                                 max_cameras)
+    test = []
+    if eval_split and os.path.exists(os.path.join(path,
+                                                  "transforms_test.json")):
+        test = read_blender_cameras(path, "transforms_test.json",
+                                    white_background, extension, resolution,
+                                    max_cameras)
+    rng = np.random.default_rng(0)
+    num_pts = 100_000
+    xyz = (rng.random((num_pts, 3)) - 0.5).astype(np.float32)
+    from svgir_tpu.utils.sh import C0
+    shs = rng.random((num_pts, 3)) / 255.0
+    cols = (shs * C0 + 0.5).astype(np.float32)
+    normals = rng.standard_normal((num_pts, 3))
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    extent = _nerfpp_radius([np.asarray(c.world_view) for c in train])
+    return SceneData(train, test, xyz, cols, normals.astype(np.float32),
+                     extent)

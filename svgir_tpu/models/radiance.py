@@ -56,13 +56,20 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
     # brute force is exact but O(N * rays); switch to the uniform-grid
     # tracer (identical outputs, see ops/grid_tracer.py) at scale
     if use_grid is None:
-        use_grid = n > 20_000
+        # NOTE: the grid path compiles slowly through the remote TPU
+        # compiler in this environment; brute force is ~213 s at 50k x 24
+        # rays, so auto-enable only where brute force becomes untenable
+        use_grid = n > 100_000
     grid = None
     if use_grid:
         from svgir_tpu.ops import grid_tracer
         res = grid_tracer.auto_res(geo)
-        grid = grid_tracer.build_grid(geo, res=res, cell_cap=128,
+        grid = grid_tracer.build_grid(geo, res=res, cell_cap=64,
                                       max_cells_per_gauss=64)
+        # smaller ray batches keep the per-step gather graph within the
+        # TPU compiler's appetite
+        ray_chunk = min(ray_chunk, 8192)
+        nchunks = -(-r_total // ray_chunk)
 
     def run(o, d, si):
         if grid is not None:

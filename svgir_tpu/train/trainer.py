@@ -326,3 +326,18 @@ def bake_radiance_compact(params, alive, *, sample_num: int, key=None,
         "uv": expand(bake_c["uv"]),
         "exhausted_frac": bake_c["exhausted_frac"],
     }
+
+
+def jsonl_logger(path: str):
+    """Callback factory: append history entries to a JSONL file (the
+    TensorBoard-scalars equivalent; tail -f friendly)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def cb(entry, *_):
+        with open(path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    return cb

@@ -111,6 +111,22 @@ def _replicate_pad(img: jax.Array, pad: int) -> jax.Array:
     return jnp.pad(img, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
 
+def _shift_conv(padded: jax.Array, kern: np.ndarray, h: int,
+                w: int) -> jax.Array:
+    """Tiny-kernel depthwise conv as explicit shifted adds: XLA's grouped
+    convolution costs ~8 ms per call at C=3, 800x800 on TPU; the shift form
+    fuses into one elementwise pass (<1 ms)."""
+    kh, kw = kern.shape
+    out = jnp.zeros(padded.shape[:1] + (h, w), padded.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            c = float(kern[i, j])
+            if c == 0.0:
+                continue
+            out = out + c * padded[:, i:i + h, j:j + w]
+    return out
+
+
 def spatial_gradient(img: jax.Array, order: int = 1) -> jax.Array:
     """[C, H, W] -> [C, G, H, W]; G=2 (dx, dy) for order 1,
     G=3 (dxx, dxy, dyy) for order 2.  Matches kornia's normalized sobel."""
@@ -120,9 +136,9 @@ def spatial_gradient(img: jax.Array, order: int = 1) -> jax.Array:
     else:
         kerns = [_SOBEL_XX, _SOBEL_XY, _SOBEL_XX.T]
         pad = 2
+    h, w = img.shape[-2:]
     padded = _replicate_pad(img, pad)
-    outs = [_depthwise_conv(padded, jnp.asarray(k), padding="VALID")
-            for k in kerns]
+    outs = [_shift_conv(padded, k, h, w) for k in kerns]
     return jnp.stack(outs, axis=1)
 
 

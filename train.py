@@ -86,7 +86,11 @@ def main(argv=None):
         if is_pbr:
             state = G.upgrade_to_pbr(state)
 
-    def cb(entry, *_):
+    from svgir_tpu.train.trainer import jsonl_logger
+    log_cb = jsonl_logger(os.path.join(out_dir, "train_log.jsonl"))
+
+    def cb(entry, *args):
+        log_cb(entry)
         print("  " + "  ".join(f"{k}={v:.4g}" if isinstance(v, float)
                                else f"{k}={v}" for k, v in entry.items()),
               flush=True)
