@@ -239,9 +239,11 @@ def load_scene(path: str, **kw) -> SceneData:
     if os.path.exists(os.path.join(path, "sparse")):
         kw.pop("white_background", None)
         return read_colmap_scene(path, **kw)
-    if os.path.exists(os.path.join(path, "inputs", "model", "sparse.ply")):
-        raise NotImplementedError(
-            "render_relight/sfm_scene layouts (DTU-style) not wired yet")
+    if os.path.exists(os.path.join(path, "inputs", "sfm_scene.json")):
+        kw.pop("white_background", None)
+        return read_sfm_scene(path, **{k: v for k, v in kw.items()
+                                       if k in ("eval_split", "resolution",
+                                                "max_cameras")})
     if os.path.exists(os.path.join(path, "transforms_train.json")):
         # Synthetic4Relight ships per-frame *_albedo.png GT
         probe = os.path.join(path, "test")
@@ -299,6 +301,94 @@ def make_gt_albedo_fn(scene: SceneData):
         return (np.clip(img, 0, 1).transpose(2, 0, 1).astype(np.float32),
                 np.asarray(cam.image_mask))
     return fn
+
+
+def read_sfm_scene(path: str, eval_split: bool = True, resolution: int = -1,
+                   max_cameras: Optional[int] = None) -> SceneData:
+    """render_relight / DTU-style layout (readrender_relightInfo +
+    loadCamsFromScene, dataset_readers.py:346-460): ``inputs/sfm_scene.json``
+    holds a camera track map + a bbox transform that recenters/rescales the
+    scene; points come from ``inputs/model/sparse.ply`` mapped through the
+    inverse bbox transform; foreground ``pmasks/*.png`` multiply the images.
+
+    Test split = images whose integer index is in {2, 12, 17, 30, 34} when
+    ``eval_split`` (the reference's hard-coded DTU validation indexes).
+    Cameras carry full fx/fy/cx/cy intrinsics (center-shift projection).
+    """
+    inputs = os.path.join(path, "inputs")
+    with open(os.path.join(inputs, "sfm_scene.json")) as f:
+        sfm = json.load(f)
+
+    bbox = np.array(sfm["bbox"]["transform"], np.float64).reshape(4, 4)
+    bbox[[0, 1, 2], [0, 1, 2]] = bbox[[0, 1, 2], [0, 1, 2]].max() / 2
+    bbox_inv = np.linalg.inv(bbox)
+
+    image_list = sfm["image_path"]["file_paths"]
+    valid_list = [2, 12, 17, 30, 34] if eval_split else []
+
+    train, test = [], []
+    for i, (index, info) in enumerate(sfm["camera_track_map"]["images"]
+                                      .items()):
+        if max_cameras is not None and i >= max_cameras:
+            break
+        if info.get("flg") != 2:          # flg == 2 marks a valid camera
+            continue
+        fx, fy = info["camera"]["intrinsic"]["focal"][:2]
+        cx, cy = info["camera"]["intrinsic"]["ppt"][:2]
+
+        extrinsic = np.array(info["camera"]["extrinsic"],
+                             np.float64).reshape(4, 4)
+        c2w = np.linalg.inv(extrinsic)
+        c2w[:3, 3] = (c2w[:4, 3] @ bbox_inv.T)[:3]
+        w2c = np.linalg.inv(c2w)
+        R = w2c[:3, :3].T
+        T = w2c[:3, 3]
+
+        rel = (image_list[index] if isinstance(image_list, dict)
+               else image_list[int(index)])
+        image_path = os.path.join(inputs, rel.lstrip("/"))
+        image_name = Path(image_path).stem
+        img = load_image_rgb(image_path)[..., :3]
+
+        base = os.path.basename(rel)
+        mask_path = os.path.join(
+            inputs, "pmasks", os.path.splitext(base)[0] + ".png")
+        if os.path.exists(mask_path):
+            m = load_image_rgb(mask_path)
+            m = m[..., 0] if m.ndim == 3 else m
+            mask = (m > 0.5).astype(np.float32)
+        else:
+            mask = np.ones_like(img[..., 0])
+        img = img * mask[..., None]
+
+        h0, w0 = img.shape[:2]
+        w, h = _resolve_resolution(w0, h0, resolution)
+        if (w, h) != (w0, h0):
+            img = _maybe_resize(img, w, h)
+            mask = _maybe_resize(mask, w, h)
+            sx, sy = w / w0, h / h0
+            fx, fy, cx, cy = fx * sx, fy * sy, cx * sx, cy * sy
+        fovx = focal2fov(fx, w)
+        fovy = focal2fov(fy, h)
+        cam = make_camera(
+            R, T, fovx, fovy, w, h, fx=fx, fy=fy, cx=cx, cy=cy,
+            image=np.clip(img, 0, 1).transpose(2, 0, 1).astype(np.float32),
+            image_mask=mask[None].astype(np.float32),
+            uid=int(index), image_name=image_name)
+        (test if int(index) in valid_list else train).append(cam)
+
+    pts, cols, nrms = fetch_pointcloud(
+        os.path.join(inputs, "model", "sparse.ply"))
+    xyz_h = np.concatenate([pts, np.ones_like(pts[:, :1])], axis=-1)
+    pts = (xyz_h @ bbox_inv.T)[:, :3].astype(np.float32)
+    scaled_ply = os.path.join(inputs, "model", "sparse_bbx_scale.ply")
+    try:
+        store_pointcloud(scaled_ply, pts, cols * 255.0, nrms)
+    except OSError:
+        scaled_ply = ""
+    extent = _nerfpp_radius([np.asarray(c.world_view) for c in train])
+    return SceneData(train, test, pts, cols.astype(np.float32),
+                     nrms.astype(np.float32), extent, scaled_ply)
 
 
 def read_stanford_orb_scene(path: str, white_background: bool = False,

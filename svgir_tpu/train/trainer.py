@@ -341,3 +341,24 @@ def jsonl_logger(path: str):
             f.write(json.dumps(entry) + "\n")
 
     return cb
+
+
+def tensorboard_logger(log_dir: str):
+    """Callback factory writing history entries as TensorBoard scalars
+    (training_report, reference train.py:252-311: one
+    ``train_loss_patches/<key>`` scalar per tb_dict entry).  Returns None
+    when no tensorboard backend is importable (zero-egress images)."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        return None
+    writer = SummaryWriter(log_dir)
+
+    def cb(entry, *_):
+        step = int(entry.get("iter", 0))
+        for key, val in entry.items():
+            if key != "iter" and isinstance(val, (int, float)):
+                writer.add_scalar(f"train_loss_patches/{key}", val, step)
+
+    cb.writer = writer          # exposed so callers can add_images / close
+    return cb

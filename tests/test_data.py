@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 
 from svgir_tpu.data import ply as PLY
-from svgir_tpu.data.readers import load_scene, read_blender_scene
+from svgir_tpu.data.readers import (load_scene, read_blender_scene,
+                                    read_sfm_scene)
 
 
 def test_ply_roundtrip(tmp_path):
@@ -65,3 +66,74 @@ def test_blender_reader(tmp_path):
     scene2 = load_scene(str(tmp_path), white_background=False,
                         eval_split=False)
     assert len(scene2.train_cameras) == 3
+
+
+def _write_sfm_scene(root, n_cams=4, res=24):
+    """Minimal render_relight/DTU layout: inputs/sfm_scene.json +
+    inputs/model/sparse.ply + images + pmasks."""
+    import imageio.v2 as imageio
+    inputs = os.path.join(root, "inputs")
+    os.makedirs(os.path.join(inputs, "images"), exist_ok=True)
+    os.makedirs(os.path.join(inputs, "pmasks"), exist_ok=True)
+    os.makedirs(os.path.join(inputs, "model"), exist_ok=True)
+
+    bbox = np.diag([2.0, 3.0, 4.0, 1.0])
+    bbox[:3, 3] = [0.1, 0.2, 0.3]
+    images, file_paths = {}, {}
+    fx, fy, cx, cy = 30.0, 32.0, res / 2 + 1, res / 2 - 1
+    for i in range(n_cams):
+        a = 2 * math.pi * i / n_cams
+        c2w = np.eye(4)
+        c2w[:3, 3] = [5 * math.sin(a), 0.0, 5 * math.cos(a)]
+        extrinsic = np.linalg.inv(c2w)
+        # index 2 is in the reference's DTU validation list
+        images[str(i)] = {
+            "flg": 2 if i != 3 else 0,    # cam 3 invalid -> skipped
+            "camera": {
+                "intrinsic": {"focal": [fx, fy], "ppt": [cx, cy]},
+                "extrinsic": extrinsic.reshape(-1).tolist()}}
+        file_paths[str(i)] = f"images/im_{i}.png"
+        img = np.full((res, res, 3), 180, np.uint8)
+        imageio.imwrite(os.path.join(inputs, "images", f"im_{i}.png"), img)
+        m = np.zeros((res, res), np.uint8)
+        m[4:20, 4:20] = 255
+        imageio.imwrite(os.path.join(inputs, "pmasks", f"im_{i}.png"), m)
+    with open(os.path.join(inputs, "sfm_scene.json"), "w") as f:
+        json.dump({"bbox": {"transform": bbox.reshape(-1).tolist()},
+                   "image_path": {"file_paths": file_paths},
+                   "camera_track_map": {"images": images}}, f)
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(50, 3)).astype(np.float32)
+    PLY.store_pointcloud(os.path.join(inputs, "model", "sparse.ply"),
+                         xyz, rng.random((50, 3)) * 255,
+                         np.zeros((50, 3), np.float32))
+    return bbox, xyz
+
+
+def test_sfm_scene_reader(tmp_path):
+    bbox, xyz = _write_sfm_scene(str(tmp_path))
+    scene = read_sfm_scene(str(tmp_path), eval_split=True)
+    # cam 3 has flg != 2 -> dropped; index 2 goes to the test split
+    assert len(scene.train_cameras) == 2
+    assert len(scene.test_cameras) == 1
+    assert scene.test_cameras[0].uid == 2
+    cam = scene.train_cameras[0]
+    assert cam.image.shape == (3, 24, 24)
+    # pmask multiplies the image: outside the 4:20 square pixels are 0
+    img, mask = np.asarray(cam.image), np.asarray(cam.image_mask)[0]
+    assert img[:, mask < 0.5].max() == 0 and img[:, mask > 0.5].min() > 0.5
+    # bbox diag is replaced by max(diag)/2 = 2.0 before inversion; points
+    # map through inv: x' = (x - t) / 2
+    bbox_eff = bbox.copy()
+    bbox_eff[[0, 1, 2], [0, 1, 2]] = 2.0
+    expect = (np.concatenate([xyz, np.ones_like(xyz[:, :1])], -1)
+              @ np.linalg.inv(bbox_eff).T)[:, :3]
+    np.testing.assert_allclose(scene.points, expect, atol=1e-5)
+    # camera centers normalized the same way: extent reflects r=5 orbit / 2
+    assert 1.5 < scene.cameras_extent < 4.0
+    # center-shift projection in effect (cx offset breaks symmetry)
+    full = np.asarray(cam.full_proj)
+    assert abs(full[0, 2]) > 0 or abs(full[0, 3]) > 0
+    # dispatch finds it
+    scene2 = load_scene(str(tmp_path), eval_split=True)
+    assert len(scene2.train_cameras) == 2

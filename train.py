@@ -86,11 +86,14 @@ def main(argv=None):
         if is_pbr:
             state = G.upgrade_to_pbr(state)
 
-    from svgir_tpu.train.trainer import jsonl_logger
+    from svgir_tpu.train.trainer import jsonl_logger, tensorboard_logger
     log_cb = jsonl_logger(os.path.join(out_dir, "train_log.jsonl"))
+    tb_cb = tensorboard_logger(os.path.join(out_dir, "tb"))
 
     def cb(entry, *args):
         log_cb(entry)
+        if tb_cb is not None:
+            tb_cb(entry)
         print("  " + "  ".join(f"{k}={v:.4g}" if isinstance(v, float)
                                else f"{k}={v}" for k, v in entry.items()),
               flush=True)
