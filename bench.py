@@ -37,7 +37,11 @@ def build():
     from svgir_tpu.cameras import look_at_camera
     from svgir_tpu.utils.transforms import normalize
 
-    cfg = RasterConfig(max_instances=1 << 20, chunk=128)
+    # Instance buffers are static-shaped; every gather/scatter/zero-fill in
+    # the step scales with this cap, so size it to the scene like the CUDA
+    # reference sizes its dynamic buffers (measured ~345k instances here;
+    # 1<<19 leaves 1.5x headroom and is overflow-checked below).
+    cfg = RasterConfig(max_instances=1 << 19, chunk=128)
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -64,6 +68,26 @@ def build():
         return res["loss"]
 
     step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # overflow check: the cap above must cover this scene's instance count
+    from svgir_tpu.models.gaussians import get_rotation, get_scaling
+    from svgir_tpu.ops.binning import bin_instances_counting
+    from svgir_tpu.ops.preprocess import preprocess
+
+    @jax.jit
+    def probe(params):
+        prep = preprocess(
+            params["xyz"], get_scaling(params), get_rotation(params),
+            cam.world_view, cam.full_proj, cam.camera_center,
+            width=RES, height=RES, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            focal_x=cam.focal_x, focal_y=cam.focal_y, cfg=cfg)
+        binned = bin_instances_counting(prep, width=RES, height=RES, cfg=cfg,
+                                        rect_cap=cfg.rect_cap)
+        return binned.num_instances, binned.overflow
+
+    total, overflow = jax.device_get(probe(state["params"]))
+    log(f"instances: {int(total)} / cap {cfg.max_instances}")
+    assert not bool(overflow), "max_instances too small for bench scene"
     return step, state["params"]
 
 

@@ -96,8 +96,13 @@ def _slots_kernel(x0_ref, y0_ref, x1_ref, y1_ref, nslots_ref, start_ref,
         pos_k = jnp.where(nsl[:, 0] > k, pos_k, m)
         return jnp.where(k_iota == k, pos_k[:, None], acc)
 
+    # dynamic trip count: slots beyond the chunk's max rect size are all
+    # masked to m by the init value, so bounding the loop by max(nsl) is
+    # exact and skips most of the 16 one-hot passes for small-splat chunks
+    max_nsl = jnp.minimum(jnp.max(nslots_ref[0, 0]), rect_cap)
     pos_ref[0, 0] = jax.lax.fori_loop(
-        0, rect_cap, body, jnp.full((ch, rect_cap), m, jnp.int32))
+        0, max_nsl, body, jnp.full((ch, rect_cap), m, jnp.int32),
+        unroll=False)
 
     carry[:, :] += jnp.sum(cov.astype(jnp.int32), axis=0, keepdims=True)
 
