@@ -32,6 +32,54 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return jax.make_mesh((len(devs),), (axis,), devices=devs)
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bootstrap: wire this process into a global JAX runtime.
+
+    Call once per host before any device use; afterwards ``jax.devices()``
+    spans all hosts and ``make_mesh``/``make_global_mesh`` build ICI+DCN
+    meshes transparently (collectives in the train steps are unchanged —
+    XLA routes them over ICI within a slice and DCN across slices).
+
+    With no arguments, relies on the cluster's auto-detection (TPU pods
+    populate coordinator/process env vars); explicit args cover manual
+    launches.  Returns this host's process index.  Safe to call when
+    already initialized (no-op).
+    """
+    if not jax.distributed.is_initialized():
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return jax.process_index()
+
+
+def make_global_mesh(axes: Dict[str, int] | None = None) -> Mesh:
+    """Mesh over every device in the (possibly multi-host) runtime.
+
+    ``axes`` maps axis name -> size with at most one -1 (inferred), e.g.
+    ``{"data": -1, "tile": 4}``; default is a 1-D ``data`` mesh.  Axis
+    order follows dict order; put the fastest-varying (ICI-heavy) axis
+    last so it lands on neighbouring devices within a slice.
+    """
+    n = len(jax.devices())
+    axes = dict(axes or {"data": -1})
+    sizes = list(axes.values())
+    if -1 in sizes:
+        known = 1
+        for s in sizes:
+            if s != -1:
+                known *= s
+        sizes[sizes.index(-1)] = n // known
+    prod = 1
+    for s in sizes:
+        prod *= s
+    if prod != n:
+        raise ValueError(f"mesh axes {axes} do not tile {n} devices "
+                         f"(product {prod})")
+    return jax.make_mesh(tuple(sizes), tuple(axes.keys()))
+
+
 def stack_cameras(cameras: List):
     """Stack per-camera arrays into leading-batch leaves (statics must
     match across the batch)."""

@@ -108,3 +108,34 @@ def test_dp_train_step():
     # params actually moved and are replicated-consistent
     assert float(jnp.abs(new_state["params"]["xyz"]
                          - state["params"]["xyz"]).max()) > 0
+
+
+def test_distributed_bootstrap_single_process():
+    """init_distributed + make_global_mesh in a fresh process (initialize
+    must precede backend init, so this runs in a subprocess)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from svgir_tpu.parallel.dp import init_distributed, make_global_mesh\n"
+        "import jax\n"
+        "pid = init_distributed('localhost:12395', num_processes=1, "
+        "process_id=0)\n"
+        "pid2 = init_distributed('localhost:12395', num_processes=1, "
+        "process_id=0)\n"   # idempotent re-init (backend is up by now)
+        "assert pid == pid2 == 0\n"
+        "assert jax.process_count() == 1\n"
+        "m1 = make_global_mesh()\n"
+        "assert m1.axis_names == ('data',) and m1.devices.size == 8\n"
+        "m2 = make_global_mesh({'data': -1, 'tile': 4})\n"
+        "assert m2.shape == {'data': 2, 'tile': 4}\n"
+        "print('bootstrap-ok', pid)\n")
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:] + out.stdout[-500:]
+    assert "bootstrap-ok 0" in out.stdout
