@@ -66,9 +66,10 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
                        interpret):
     """Blend wrapper for the counting binner: the custom-VJP boundary covers
     instance gather + kernel, and the backward reduces per-instance
-    gradients to per-gaussian rows by GATHERING each gaussian's known slot
-    positions — no scatter-add anywhere (XLA TPU scatter-adds measured
-    ~10x slower than the equivalent contiguous row gathers)."""
+    gradients to per-gaussian rows with one masked scatter-add over the
+    instances' gaussian ids (measured faster on TPU than gathering each
+    gaussian's slot positions: XLA sorts the indices and streams the adds,
+    ~7.4 ms vs ~20 ms for the gather+permute formulation at bench shapes)."""
     kw = dict(ca=ca, cv=cv, num_tiles=num_tiles, grid_x=grid_x, tile=tile,
               chunk=chunk, interpret=interpret)
 
@@ -76,17 +77,15 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         rows = slab_rows[jnp.clip(gid, 0, n - 1)]           # [M, KR] row gather
         return jnp.where(inst_valid[:, None], rows, 0.0)
 
-    def _per_gaussian(x_inst, gauss_pos, gauss_nslots, order):
-        """Sum x over each gaussian's instance slots, back in input order.
-        x_inst: [M] or [M, K]."""
-        k_ok = (jnp.arange(rc)[None] < gauss_nslots[:, None])
-        pos_c = jnp.clip(gauss_pos, 0, m - 1)
-        gathered = x_inst[pos_c]                             # [Ns, RC, ...]
-        mask = k_ok if gathered.ndim == 2 else k_ok[..., None]
-        summed = jnp.where(mask, gathered, 0.0).sum(axis=1)  # [Ns, ...]
-        out = jnp.zeros((n,) + summed.shape[1:], summed.dtype)
-        return out.at[order].set(summed[:order.shape[0]], mode="drop",
-                                 unique_indices=True)
+    def _scatter_reduce(x_inst, gid, inst_valid):
+        """Sum per-instance values into per-gaussian rows (original gaussian
+        index space — gid carries original ids).  Tile-run padding slots are
+        masked out: the kernel can emit nonzero opacity-row gradients for
+        them (d alpha / d opacity = exp(-q) even at opacity 0)."""
+        mask = inst_valid if x_inst.ndim == 1 else inst_valid[:, None]
+        x = jnp.where(mask, x_inst, 0.0)
+        out = jnp.zeros((n,) + x_inst.shape[1:], x_inst.dtype)
+        return out.at[jnp.clip(gid, 0, n - 1)].add(x)
 
     @jax.custom_vjp
     def blend(slab_rows, gid, inst_valid, tile_start, tile_count, order,
@@ -94,7 +93,7 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         slab = _instance_slab(slab_rows, gid, inst_valid)
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
-        weights = _per_gaussian(wsum[0], gauss_pos, gauss_nslots, order)
+        weights = _scatter_reduce(wsum[0], gid, inst_valid)
         return out, weights
 
     def blend_fwd(slab_rows, gid, inst_valid, tile_start, tile_count, order,
@@ -102,7 +101,7 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         slab = _instance_slab(slab_rows, gid, inst_valid)
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
-        weights = _per_gaussian(wsum[0], gauss_pos, gauss_nslots, order)
+        weights = _scatter_reduce(wsum[0], gid, inst_valid)
         meta = out[..., ca + cv:ca + cv + 3]
         res = (slab_rows, gid, inst_valid, tile_start, tile_count, order,
                gauss_pos, gauss_nslots, meta)
@@ -118,7 +117,7 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
                            g_weights[jnp.clip(gid, 0, n - 1)], 0.0)[None]
         d_inst = blend_pallas.blend_backward(
             slab, tile_start, tile_count, g_out, logt, g_wsum, **kw)
-        d_rows = _per_gaussian(d_inst, gauss_pos, gauss_nslots, order)
+        d_rows = _scatter_reduce(d_inst, gid, inst_valid)
         return (d_rows, None, None, None, None, None, None, None)
 
     blend.defvjp(blend_fwd, blend_bwd)

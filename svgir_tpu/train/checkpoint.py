@@ -88,10 +88,15 @@ def save_model_ply(path: str, params: Dict, alive: Optional[jnp.ndarray],
     geo_n = np_(G.get_geo_normal(params))
     for i, ax in enumerate(["nx", "ny", "nz"]):
         cols[ax] = geo_n[:, i]
-    dc = np_(params["shs_dc"]).transpose(0, 2, 1).reshape(len(xyz), -1)
+    def flat_sh(x):
+        # explicit column count: reshape(n, -1) breaks when n == 0
+        x = np_(x).transpose(0, 2, 1)
+        return x.reshape(len(xyz), x.shape[1] * x.shape[2])
+
+    dc = flat_sh(params["shs_dc"])
     for i in range(dc.shape[1]):
         cols[f"f_dc_{i}"] = dc[:, i]
-    rest = np_(params["shs_rest"]).transpose(0, 2, 1).reshape(len(xyz), -1)
+    rest = flat_sh(params["shs_rest"])
     for i in range(rest.shape[1]):
         cols[f"f_rest_{i}"] = rest[:, i]
     cols["opacity"] = np_(params["opacity"])[:, 0]
