@@ -138,7 +138,9 @@ def bin_instances_counting(prep: Preprocessed, *,
                            width: int, height: int,
                            cfg: RasterConfig = RasterConfig(),
                            rect_cap: int = 16,
-                           gauss_chunk: int = 4096) -> PaddedInstances:
+                           gauss_chunk: int = 4096,
+                           interpret: Optional[bool] = None
+                           ) -> PaddedInstances:
     """Sort-free binning: counting placement (TPU-native).
 
     The generic two-key ``lax.sort`` over the padded instance buffer
@@ -188,7 +190,8 @@ def bin_instances_counting(prep: Preprocessed, *,
     gid_p = pad(jnp.where(valid_s, order, -1).astype(jnp.int32))
 
     from svgir_tpu.ops.binning_pallas import compute_slots
-    interpret = jax.default_backend() != "tpu"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     pos, tile_start, padded_counts, total = compute_slots(
         x0p, y0p, x1p, y1p, touched_p, grid_x=grid_x, grid_y=grid_y,
         rect_cap=rect_cap, chunk=chunk, m=m, gauss_chunk=gauss_chunk,

@@ -7,7 +7,7 @@ whole pipeline VMEM-resident:
 
   pass 1 (counts):  carry[T] += column-sums of rect coverage per chunk;
   pass 2 (slots):   exclusive prefix ranks via a strictly-lower-triangular
-                    bf16 MXU matmul (exact: 0/1 operands, f32 accumulation),
+                    f32 MXU matmul (exact: 0/1 operands, f32 accumulation),
                     then per-rect-slot extraction of
                     ``tile_start[t] + rank[g, t]`` with one-hot masked row
                     sums (no in-kernel gather needed).
@@ -71,11 +71,15 @@ def _slots_kernel(x0_ref, y0_ref, x1_ref, y1_ref, nslots_ref, start_ref,
     x1 = x1_ref[0, 0][:, None]
     y1 = y1_ref[0, 0][:, None]
     cov = _cov(x0, y0, x1, y1, grid_x, grid_y, num_tiles_pad)
-    covf = cov.astype(jnp.bfloat16)
+    # f32 0/1 operands with f32 accumulation: exact, and accepted by every
+    # Mosaic path (the AOT compiler rejects bf16 lhs at these shapes —
+    # "Bad lhs type for vector<512x128xbf16>"); 0/1 values are exact even
+    # if the compiler lowers via a single bf16 pass.
+    covf = cov.astype(jnp.float32)
 
     gi = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
     gj = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
-    tril = (gi > gj).astype(jnp.bfloat16)
+    tril = (gi > gj).astype(jnp.float32)
     excl = jax.lax.dot_general(
         tril, covf, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32)

@@ -233,7 +233,8 @@ def rasterize(
 
     if cfg.binner == "counting":
         padded = bin_instances_counting(prep, width=width, height=height,
-                                        cfg=cfg, rect_cap=cfg.rect_cap)
+                                        cfg=cfg, rect_cap=cfg.rect_cap,
+                                        interpret=interpret)
     else:
         binned = bin_instances(prep, width=width, height=height, cfg=cfg)
         padded = pad_to_chunks(binned, chunk=cfg.chunk,
