@@ -128,6 +128,11 @@ def _dot(a, b, dims):
 def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
                 slab_vmem, wrow_vmem, dma_sem, w_sem,
                 *, chunk, ca, cv, kr, grid_x, tile):
+    """Double-buffered chunk pipeline: the slab DMA for chunk c+1 is issued
+    before chunk c's compute (2-slot VMEM staging), and the per-chunk weight
+    row writeback is drained two iterations later — the TPU analog of the
+    CUDA kernel's cooperative shared-memory staging (forward.cu:503-519),
+    hiding both directions' DMA latency behind the blend matmuls."""
     t = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t], chunk)
     nchunks = counts_ref[t] // chunk
@@ -136,13 +141,32 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
 
     out_ref[0] = jnp.zeros((PIX, ca + cv + 3), jnp.float32)
 
+    def slab_copy(c, slot):
+        return pltpu.make_async_copy(
+            slab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                              chunk), :],
+            slab_vmem.at[slot], dma_sem.at[slot])
+
+    def w_copy(c, slot):
+        return pltpu.make_async_copy(
+            wrow_vmem.at[slot],
+            wsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                                 chunk)],
+            w_sem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        slab_copy(0, 0).start()
+
     def body(c, logT):
-        copy = pltpu.make_async_copy(
-            slab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk), :], slab_vmem,
-            dma_sem)
-        copy.start()
-        copy.wait()
-        slab = slab_vmem[:, :].T      # [KR, chunk]; cheap VMEM relayout
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            slab_copy(c + 1, (c + 1) % 2).start()
+
+        slab_copy(c, slot).wait()
+        slab = slab_vmem[slot].T      # [KR, chunk]; cheap VMEM relayout
         m = _chunk_math(slab, px, py, chunk)
 
         logT_excl = logT + _dot(m["loga"], su, ((1,), (0,)))
@@ -165,11 +189,14 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
         out_ref[0, :, ca + cv + 1:ca + cv + 2] += jnp.sum(
             gate.astype(jnp.float32), axis=1, keepdims=True)
 
-        wrow_vmem[:, :] = jnp.sum(w, axis=0, keepdims=True)  # [1, chunk]
-        wcopy = pltpu.make_async_copy(
-            wrow_vmem, wsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)], w_sem)
-        wcopy.start()
-        wcopy.wait()
+        # async weight-row writeback: drain the copy issued two chunks ago
+        # on this slot before overwriting its staging buffer
+        @pl.when(c >= 2)
+        def _():
+            w_copy(c - 2, slot).wait()
+
+        wrow_vmem[slot] = jnp.sum(w, axis=0, keepdims=True)  # [1, chunk]
+        w_copy(c, slot).start()
 
         return logT + jnp.sum(m["loga"], axis=1, keepdims=True)
 
@@ -186,17 +213,37 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     c_stop, logT = jax.lax.while_loop(
         cond, wbody, (jnp.int32(0), jnp.zeros((PIX, 1), jnp.float32)))
 
+    # drain the prefetch issued for the chunk the early exit skipped
+    # (c_stop < nchunks implies iteration c_stop-1 ran and prefetched it)
+    @pl.when(c_stop < nchunks)
+    def _():
+        slab_copy(c_stop, c_stop % 2).wait()
+
     # zero the weight rows of skipped chunks (their instances blended
-    # nothing; the buffer is uninitialized memory otherwise)
+    # nothing; the buffer is uninitialized memory otherwise), continuing
+    # the same slot parity / drain-two-behind discipline
     def zbody(c, _):
-        wrow_vmem[:, :] = jnp.zeros((1, chunk), jnp.float32)
-        zcopy = pltpu.make_async_copy(
-            wrow_vmem, wsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)], w_sem)
-        zcopy.start()
-        zcopy.wait()
+        slot = c % 2
+
+        @pl.when(c >= 2)
+        def _():
+            w_copy(c - 2, slot).wait()
+
+        wrow_vmem[slot] = jnp.zeros((1, chunk), jnp.float32)
+        w_copy(c, slot).start()
         return 0
 
     jax.lax.fori_loop(c_stop, nchunks, zbody, 0)
+
+    # drain the last two in-flight weight-row copies
+    @pl.when(nchunks >= 1)
+    def _():
+        w_copy(nchunks - 1, (nchunks - 1) % 2).wait()
+
+    @pl.when(nchunks >= 2)
+    def _():
+        w_copy(nchunks - 2, (nchunks - 2) % 2).wait()
+
     out_ref[0, :, ca + cv:ca + cv + 1] = logT
     out_ref[0, :, ca + cv + 2:ca + cv + 3] = jnp.full(
         (PIX, 1), 1.0, jnp.float32) * c_stop.astype(jnp.float32)
@@ -224,10 +271,10 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((chunk, kr), jnp.float32),
-            pltpu.VMEM((1, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, chunk, kr), jnp.float32),
+            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, wsum = pl.pallas_call(
@@ -274,21 +321,49 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
     # entered logT_final and produced weights
     nchunks_eff = meta_ref[0, 0, 2].astype(jnp.int32)
 
+    # double-buffered staging (see _fwd_kernel): slab + g_wsum loads for the
+    # next (earlier) chunk are issued before this chunk's compute; d_slab
+    # stores drain two iterations later.  ``.wait()`` only consumes the
+    # slot's semaphore by the copy's byte count, so reconstructing the
+    # descriptor with any same-shape chunk index is a valid drain.
+    def slab_copy(c, slot):
+        return pltpu.make_async_copy(
+            slab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                              chunk), :],
+            slab_vmem.at[slot], dma_sem.at[slot])
+
+    def g_copy(c, slot):
+        return pltpu.make_async_copy(
+            gwsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                                  chunk)],
+            grow_vmem.at[slot], g_sem.at[slot])
+
+    def d_copy(c, slot):
+        return pltpu.make_async_copy(
+            dslab_rows.at[slot],
+            dslab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                               chunk), :],
+            d_sem.at[slot])
+
+    @pl.when(nchunks_eff > 0)
+    def _():
+        slab_copy(nchunks_eff - 1, 0).start()
+        g_copy(nchunks_eff - 1, 0).start()
+
     def body(i, carry):
         logT_after, suf = carry
         c = nchunks_eff - 1 - i
-        copy = pltpu.make_async_copy(
-            slab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk), :], slab_vmem,
-            dma_sem)
-        copy.start()
-        gcopy = pltpu.make_async_copy(
-            gwsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk)], grow_vmem,
-            g_sem)
-        gcopy.start()
-        copy.wait()
-        gcopy.wait()
+        slot = i % 2
 
-        slab = slab_vmem[:, :].T      # [KR, chunk]
+        @pl.when(i + 1 < nchunks_eff)
+        def _():
+            slab_copy(c - 1, (i + 1) % 2).start()
+            g_copy(c - 1, (i + 1) % 2).start()
+
+        slab_copy(c, slot).wait()
+        g_copy(c, slot).wait()
+
+        slab = slab_vmem[slot].T      # [KR, chunk]
         m = _chunk_math(slab, px, py, chunk)
 
         suffix_incl = _dot(m["loga"], li, ((1,), (0,)))   # [PIX, chunk]
@@ -300,7 +375,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
         attrs = slab[NG:NG + ca, :]
         # dL/dw: plain channels + per-instance wsum grads (+ vertex below)
         dw = _dot(g_plain, attrs, ((1,), (0,)))           # [PIX, chunk]
-        dw += grow_vmem[:, :]                             # broadcast [1,chunk]
+        dw += grow_vmem[slot]                             # broadcast [1,chunk]
 
         # ---- vertex path ----
         d_du0 = jnp.zeros_like(w)
@@ -378,12 +453,14 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
                 dslab_vmem[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :] = \
                     _dot(g_vf, w * wv[vtx], ((0,), (0,)))
 
-        dslab_rows[:, :] = dslab_vmem[:, :].T      # [chunk, KR]
-        dcopy = pltpu.make_async_copy(
-            dslab_rows, dslab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk), :],
-            d_sem)
-        dcopy.start()
-        dcopy.wait()
+        # drain the store issued two iterations ago on this slot before
+        # overwriting its staging buffer
+        @pl.when(i >= 2)
+        def _():
+            d_copy(c, slot).wait()
+
+        dslab_rows[slot] = dslab_vmem[:, :].T      # [chunk, KR]
+        d_copy(c, slot).start()
 
         new_logT = logT_after - jnp.sum(m["loga"], axis=1, keepdims=True)
         new_suf = suf + jnp.sum(s_term, axis=1, keepdims=True)
@@ -393,17 +470,29 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
     jax.lax.fori_loop(0, nchunks_eff, body, (logT_final, g_logt))
 
     # chunks skipped by the forward early exit contributed nothing:
-    # their instance gradients are zero (fill the uninitialized rows)
-    def zbody(c, _):
-        dslab_rows[:, :] = jnp.zeros_like(dslab_rows)
-        zcopy = pltpu.make_async_copy(
-            dslab_rows, dslab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk), chunk), :],
-            d_sem)
-        zcopy.start()
-        zcopy.wait()
+    # their instance gradients are zero (fill the uninitialized rows);
+    # store index k continues the main loop's count for slot parity
+    def zbody(k, _):
+        slot = k % 2
+
+        @pl.when(k >= 2)
+        def _():
+            d_copy(0, slot).wait()
+
+        dslab_rows[slot] = jnp.zeros((chunk, kr), jnp.float32)
+        d_copy(k, slot).start()
         return 0
 
     jax.lax.fori_loop(nchunks_eff, nchunks, zbody, 0)
+
+    # drain the last two in-flight d_slab stores (total stores = nchunks)
+    @pl.when(nchunks >= 1)
+    def _():
+        d_copy(0, (nchunks - 1) % 2).wait()
+
+    @pl.when(nchunks >= 2)
+    def _():
+        d_copy(0, (nchunks - 2) % 2).wait()
 
 
 def blend_backward(slab: jax.Array, tile_start: jax.Array,
@@ -431,13 +520,13 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),           # d_slab
         scratch_shapes=[
-            pltpu.VMEM((chunk, kr), jnp.float32),
-            pltpu.VMEM((1, chunk), jnp.float32),
+            pltpu.VMEM((2, chunk, kr), jnp.float32),
+            pltpu.VMEM((2, 1, chunk), jnp.float32),
             pltpu.VMEM((kr, chunk), jnp.float32),
-            pltpu.VMEM((chunk, kr), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, chunk, kr), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     d_slab = pl.pallas_call(

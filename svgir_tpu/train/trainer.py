@@ -12,6 +12,7 @@ on host and triggers at most a handful of recompiles per run.
 from __future__ import annotations
 
 import dataclasses
+import os
 import random
 import time
 from functools import partial
@@ -79,13 +80,79 @@ def make_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
     return step
 
 
+def camera_for_iter(cams: List, it: int, seed: int):
+    """Deterministic without-replacement camera schedule: epoch
+    ``(it-1)//len`` is a seed+epoch-keyed shuffle, so kill-and-resume at any
+    iteration continues the exact uninterrupted sequence (the reference's
+    in-memory ``viewpoint_stack`` pop loses this across restarts)."""
+    epoch, k = divmod(it - 1, len(cams))
+    order = list(range(len(cams)))
+    random.Random(seed * 1_000_003 + epoch).shuffle(order)
+    return cams[order[k]]
+
+
+class PeriodicTasks:
+    """Mid-run checkpointing + test-set eval + training vis.
+
+    The reference cadence: ``chkpnt<iter>.pth`` every ``checkpoint_interval``
+    (train.py:229-241), test-PSNR ``training_report`` every ``test_interval``
+    (:252-316), ``save_training_vis`` grids on their own cadence (:319-363).
+    """
+
+    def __init__(self, *, out_dir: Optional[str] = None,
+                 checkpoint_interval: int = 0,
+                 test_cameras: Optional[List] = None,
+                 test_interval: int = 0, vis_interval: int = 0,
+                 max_test_views: int = 8):
+        self.out_dir = out_dir
+        self.ckpt_iv = checkpoint_interval if out_dir else 0
+        self.test_cams = [strip_meta(c) for c in (test_cameras or [])]
+        self.test_iv = test_interval if self.test_cams else 0
+        self.vis_iv = vis_interval if out_dir else 0
+        self.max_test_views = max_test_views
+
+    def run(self, it: int, *, eval_fn=None, save_fn=None,
+            vis_cam=None) -> Dict[str, float]:
+        """Returns extra log entries ({} when nothing fired)."""
+        extras: Dict[str, float] = {}
+        if self.ckpt_iv and it % self.ckpt_iv == 0 and save_fn is not None:
+            save_fn(it)
+            extras["checkpoint"] = float(it)
+        if eval_fn is not None and self.test_iv and it % self.test_iv == 0:
+            psnrs = []
+            for cam in self.test_cams[:self.max_test_views]:
+                res = eval_fn(cam)
+                pred = jnp.clip(res["render"], 0, 1)
+                mse = jnp.mean(jnp.square(pred - cam.image))
+                psnrs.append(float(-10.0 * jnp.log10(mse)))
+            extras["test_psnr"] = float(sum(psnrs) / len(psnrs))
+        if (eval_fn is not None and self.vis_iv
+                and it % self.vis_iv == 0):
+            from svgir_tpu.eval.nvs import save_training_vis
+            cam = vis_cam if vis_cam is not None else (
+                self.test_cams[0] if self.test_cams else None)
+            if cam is not None:
+                res = eval_fn(cam)
+                save_training_vis(
+                    os.path.join(self.out_dir, "visualize"), it, res,
+                    gt_image=cam.image)
+        return extras
+
+
 def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                  bg=(0.0, 0.0, 0.0), raster_cfg: RasterConfig = RasterConfig(),
                  spatial_lr_scale: float = 1.0, sh_degree: int = 3,
                  first_iter: int = 0, iterations: Optional[int] = None,
                  seed: int = 0, log_every: int = 50,
-                 callback=None, use_pbr: bool = False):
+                 callback=None, use_pbr: bool = False,
+                 opt_state=None, out_dir: Optional[str] = None,
+                 checkpoint_interval: int = 0,
+                 test_cameras: Optional[List] = None,
+                 test_interval: int = 0, vis_interval: int = 0):
     """Run the stage-1 loop.  Returns (state, opt_state, history)."""
+    from svgir_tpu.render.stage1 import render_view_stage1
+    from svgir_tpu.train import checkpoint as CK
+
     iterations = iterations or opt.iterations
     lrs = optim.group_lrs(opt, spatial_lr_scale, use_pbr)
     xyz_sched = get_expon_lr_fn(
@@ -94,7 +161,8 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
         lr_delay_mult=opt.position_lr_delay_mult,
         max_steps=opt.position_lr_max_steps)
 
-    opt_state = optim.adam_init(state["params"])
+    if opt_state is None:
+        opt_state = optim.adam_init(state["params"])
     step_fn = make_train_step(opt, raster_cfg, bg, sh_degree=sh_degree,
                               lrs=lrs)
     densify_fn = jax.jit(
@@ -103,18 +171,26 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                 percent_dense=opt.percent_dense),
         static_argnames=("max_screen_size",))
 
-    rng = random.Random(seed)
     key = jax.random.PRNGKey(seed)
-    stack: List[int] = []
     cams = [strip_meta(c) for c in cameras]
     extent = spatial_lr_scale  # cameras_extent == spatial_lr_scale (train.py)
+
+    bgj = jnp.asarray(bg)
+
+    @jax.jit
+    def eval_render(params, alive, camera):
+        return render_view_stage1(camera, params, bgj, sh_degree=sh_degree,
+                                  alive=alive, cfg=raster_cfg)
+
+    periodic = PeriodicTasks(
+        out_dir=out_dir, checkpoint_interval=checkpoint_interval,
+        test_cameras=test_cameras, test_interval=test_interval,
+        vis_interval=vis_interval)
 
     history = []
     t0 = time.time()
     for it in range(first_iter + 1, iterations + 1):
-        if not stack:
-            stack = list(range(len(cams)))
-        cam = cams[stack.pop(rng.randrange(len(stack)))]
+        cam = camera_for_iter(cams, it, seed)
         xyz_lr = float(xyz_sched(it))
 
         state, opt_state, tb = step_fn(state, opt_state, cam,
@@ -131,7 +207,7 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                     state, opt_state = G.grow_capacity(state, opt_state,
                                                        cap * 2)
                 size_thr = 20.0 if it > opt.opacity_reset_interval else None
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(key, it)
                 gnorm_thr = (opt.densify_grad_normal_threshold
                              if it > opt.normal_densify_from_iter else 99999.0)
                 state, opt_state, rep = densify_fn(
@@ -141,11 +217,18 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                 params, opt_state = G.reset_opacity(state["params"], opt_state)
                 state = {**state, "params": params}
 
-        if it % log_every == 0 or it == iterations:
+        extras = periodic.run(
+            it,
+            eval_fn=lambda c: eval_render(state["params"], state["alive"], c),
+            save_fn=lambda i: CK.save_checkpoint(
+                os.path.join(out_dir, f"chkpnt{i}.npz"), i, state, opt_state),
+            vis_cam=cam)
+
+        if it % log_every == 0 or it == iterations or extras:
             entry = {"iter": it, "psnr": float(tb["psnr"]),
                      "loss": float(tb["loss"]),
                      "n_alive": int(state["alive"].sum()),
-                     "elapsed": time.time() - t0}
+                     "elapsed": time.time() - t0, **extras}
             history.append(entry)
             if callback:
                 callback(entry, state)
@@ -210,7 +293,11 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
                  sample_num: int = 64, env_resolution: int = 16,
                  first_iter: int = 30_000, iterations: int = 50_000,
                  seed: int = 0, log_every: int = 50, callback=None,
-                 bake_key=None, env_state=None, bake=None):
+                 bake_key=None, env_state=None, bake=None,
+                 opt_state=None, out_dir: Optional[str] = None,
+                 checkpoint_interval: int = 0,
+                 test_cameras: Optional[List] = None,
+                 test_interval: int = 0, vis_interval: int = 0):
     """Stage-2 loop (train.py with is_pbr=True).
 
     ``state`` must already be PBR-upgraded (models.gaussians.upgrade_to_pbr).
@@ -243,7 +330,8 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
                                              light_init=opt.light_init)
 
     lrs = optim.group_lrs(opt, spatial_lr_scale, use_pbr=True)
-    opt_state = optim.adam_init(params)
+    if opt_state is None:
+        opt_state = optim.adam_init(params)
     step_fn = make_svgss_train_step(opt, raster_cfg, bg,
                                     sh_degree=sh_degree, lrs=lrs)
     xyz_sched = get_expon_lr_fn(
@@ -252,18 +340,34 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
         lr_delay_mult=opt.position_lr_delay_mult,
         max_steps=opt.position_lr_max_steps)
 
-    rng = random.Random(seed)
-    stack: List[int] = []
     cams = [strip_meta(c) for c in cameras]
+
+    from svgir_tpu.render.svgss import render_view_svgss
+    from svgir_tpu.train import checkpoint as CK
+
+    bgj = jnp.asarray(bg)
+
+    @jax.jit
+    def eval_render(params, alive, env_params, camera):
+        return render_view_svgss(camera, params, bake_static, env_params,
+                                 bgj, is_training=False, alive=alive,
+                                 sh_degree=sh_degree, cfg=raster_cfg)
+
+    periodic = PeriodicTasks(
+        out_dir=out_dir, checkpoint_interval=checkpoint_interval,
+        test_cameras=test_cameras, test_interval=test_interval,
+        vis_interval=vis_interval)
 
     radiance_lr = opt.radiance_lr
     lls_weight = opt.lambda_local_lights_smooth
+    # resuming past the first %1000 boundary keeps them zeroed
+    if first_iter >= 1000 and (first_iter // 1000) * 1000 > 30_000:
+        radiance_lr = 0.0
+        lls_weight = 0.0
     history = []
     t0 = time.time()
     for it in range(first_iter + 1, iterations + 1):
-        if not stack:
-            stack = list(range(len(cams)))
-        cam = cams[stack.pop(rng.randrange(len(stack)))]
+        cam = camera_for_iter(cams, it, seed)
         xyz_lr = float(xyz_sched(it))
 
         state, opt_state, env_state, tb = step_fn(
@@ -277,11 +381,20 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
             radiance_lr = 0.0
             lls_weight = 0.0
 
-        if it % log_every == 0 or it == iterations:
+        extras = periodic.run(
+            it,
+            eval_fn=lambda c: eval_render(state["params"], state["alive"],
+                                          env_state["params"], c),
+            save_fn=lambda i: CK.save_checkpoint(
+                os.path.join(out_dir, f"chkpnt{i}.npz"), i, state, opt_state,
+                env=env_state, extra=bake_static),
+            vis_cam=cam)
+
+        if it % log_every == 0 or it == iterations or extras:
             entry = {"iter": it, "psnr": float(tb["psnr"]),
                      "psnr_pbr": float(tb["psnr_pbr"]),
                      "loss": float(tb["loss"]),
-                     "elapsed": time.time() - t0}
+                     "elapsed": time.time() - t0, **extras}
             history.append(entry)
             if callback:
                 callback(entry, state, env_state)

@@ -61,6 +61,22 @@ def test_stage1_fits_synthetic_scene():
     init_cols = jnp.full_like(colors, 0.5)
     state = G.init_from_points(init_pts, init_cols, capacity=4096)
 
+    def mean_psnr(st):
+        # through the public eval path (render_view_stage1 masks dead
+        # gaussians out of BINNING too — without the mask they overflow the
+        # instance buffer and silently truncate real splats)
+        from svgir_tpu.render.stage1 import render_view_stage1
+        vals = []
+        for cam in cams:
+            res = render_view_stage1(cam, st["params"], bg,
+                                     alive=st["alive"], cfg=CFG)
+            mse = jnp.mean(jnp.square(jnp.clip(res["render"], 0, 1)
+                                      - cam.image))
+            vals.append(float(-10 * jnp.log10(mse)))
+        return np.mean(vals)
+
+    psnr0 = mean_psnr(state)
+
     opt = OptimizationConfig(
         iterations=120, densify_from_iter=30, densify_until_iter=100,
         densification_interval=40, opacity_reset_interval=10_000,
@@ -69,15 +85,73 @@ def test_stage1_fits_synthetic_scene():
         state, cams, opt, bg=(0, 0, 0), raster_cfg=CFG,
         spatial_lr_scale=1.0, iterations=120, log_every=20)
 
-    psnrs = [h["psnr"] for h in history]
     losses = [h["loss"] for h in history]
     assert np.isfinite(losses).all()
-    # fitting must make clear progress
-    assert psnrs[-1] > psnrs[0] + 1.0, f"no progress: {psnrs}"
-    assert losses[-1] < losses[0] * 0.8, f"loss not falling: {losses}"
+    # fitting must make clear progress (mean over ALL cameras: per-step
+    # logged psnr depends on which camera that step drew)
+    psnr1 = mean_psnr(state)
+    assert psnr1 > psnr0 + 1.0, f"no progress: {psnr0} -> {psnr1}"
     # densification ran without corrupting state
     assert history[-1]["n_alive"] >= 60
     assert np.isfinite(np.asarray(state["params"]["xyz"])).all()
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_reproduces_uninterrupted_run(tmp_path):
+    """Kill-and-resume parity (VERDICT r1 #3): a run checkpointed at iter 20
+    and resumed to 40 matches the uninterrupted 40-iter run exactly — the
+    camera schedule, densify RNG, and Adam moments all survive the restart."""
+    import os
+
+    from svgir_tpu.train import checkpoint as CK
+
+    key = jax.random.PRNGKey(0)
+    means, quats, scales, opac, colors = make_gt_scene(key, n=40)
+    bg = jnp.zeros(3)
+    cams = []
+    for cam in ring_cameras(k=3, res=32):
+        bufs = rasterize(means, scales, quats, opac, cam, bg, colors=colors,
+                         cfg=CFG, interpret=True)
+        import dataclasses
+        cams.append(dataclasses.replace(
+            cam, image=jnp.clip(bufs.color, 0, 1),
+            image_mask=jnp.ones((1, 32, 32))))
+
+    def fresh_state():
+        k1, _ = jax.random.split(jax.random.PRNGKey(1))
+        init_pts = means + 0.1 * jax.random.normal(k1, means.shape)
+        return G.init_from_points(init_pts, jnp.full_like(colors, 0.5),
+                                  capacity=256)
+
+    opt = OptimizationConfig(
+        iterations=40, densify_from_iter=5, densify_until_iter=35,
+        densification_interval=10, opacity_reset_interval=10_000,
+        position_lr_max_steps=40)
+
+    # uninterrupted
+    state_a, opt_a, _ = train_stage1(
+        fresh_state(), cams, opt, bg=(0, 0, 0), raster_cfg=CFG,
+        spatial_lr_scale=1.0, iterations=40, log_every=40, seed=3)
+
+    # checkpointed at 20, then resumed
+    out = str(tmp_path)
+    state_b, opt_b, _ = train_stage1(
+        fresh_state(), cams, opt, bg=(0, 0, 0), raster_cfg=CFG,
+        spatial_lr_scale=1.0, iterations=20, log_every=40, seed=3,
+        out_dir=out, checkpoint_interval=20)
+    it0, tree = CK.load_checkpoint(os.path.join(out, "chkpnt20.npz"))
+    assert it0 == 20
+    state_b, opt_b, _ = train_stage1(
+        tree["state"], cams, opt, bg=(0, 0, 0), raster_cfg=CFG,
+        spatial_lr_scale=1.0, first_iter=20, iterations=40, log_every=40,
+        seed=3, opt_state=tree["opt"])
+
+    for k in state_a["params"]:
+        np.testing.assert_allclose(
+            np.asarray(state_a["params"][k]), np.asarray(state_b["params"][k]),
+            atol=1e-6, err_msg=f"param {k} diverged across resume")
+    np.testing.assert_array_equal(np.asarray(state_a["alive"]),
+                                  np.asarray(state_b["alive"]))
 
 
 def test_densify_and_prune_shapes():

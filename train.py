@@ -30,6 +30,7 @@ def main(argv=None):
                         choices=["render", "render_relight"])
     parser.add_argument("-c", "--checkpoint", default=None)
     parser.add_argument("--checkpoint_interval", type=int, default=5000)
+    parser.add_argument("--test_interval", type=int, default=2500)
     parser.add_argument("--max_instances", type=int, default=1 << 20)
     parser.add_argument("--max_cameras", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
@@ -70,12 +71,18 @@ def main(argv=None):
 
     first_iter = 0
     env_state = None
+    opt_state = None
+    bake = None
     if args.checkpoint:
         first_iter, tree = CK.load_checkpoint(args.checkpoint)
         state = tree["state"]
         env_state = tree.get("env")
+        bake = tree.get("extra")     # stage-2 radiance bake buffers
         if is_pbr and "base_color" not in state["params"]:
             state = G.upgrade_to_pbr(state)
+        else:
+            # param set unchanged -> Adam moments stay valid across resume
+            opt_state = tree.get("opt")
         print(f"Resumed from {args.checkpoint} at iter {first_iter}",
               flush=True)
     else:
@@ -98,12 +105,20 @@ def main(argv=None):
                                else f"{k}={v}" for k, v in entry.items()),
               flush=True)
 
+    vis_iv = (pipe_cfg.save_training_vis_iteration
+              if pipe_cfg.save_training_vis else 0)
+    periodic_kw = dict(
+        out_dir=out_dir, checkpoint_interval=args.checkpoint_interval,
+        test_cameras=scene.test_cameras, test_interval=args.test_interval,
+        vis_interval=vis_iv, opt_state=opt_state)
+
     if not is_pbr:
         state, opt_state, hist = train_stage1(
             state, scene.train_cameras, opt_cfg, bg=bg,
             raster_cfg=raster_cfg, spatial_lr_scale=scene.cameras_extent,
             sh_degree=model_cfg.sh_degree, first_iter=first_iter,
-            iterations=opt_cfg.iterations, seed=args.seed, callback=cb)
+            iterations=opt_cfg.iterations, seed=args.seed, callback=cb,
+            **periodic_kw)
         CK.save_checkpoint(
             os.path.join(out_dir, f"chkpnt{opt_cfg.iterations}.npz"),
             opt_cfg.iterations, state, opt_state)
@@ -116,7 +131,8 @@ def main(argv=None):
             sh_degree=model_cfg.sh_degree, sample_num=pipe_cfg.sample_num,
             env_resolution=model_cfg.env_resolution,
             first_iter=first_iter, iterations=opt_cfg.iterations,
-            seed=args.seed, callback=cb, env_state=env_state)
+            seed=args.seed, callback=cb, env_state=env_state, bake=bake,
+            **periodic_kw)
         CK.save_checkpoint(
             os.path.join(out_dir, f"chkpnt{opt_cfg.iterations}.npz"),
             opt_cfg.iterations, state, opt_state, env=env_state,
