@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -298,7 +298,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
                 gwsum_hbm, dslab_hbm,
                 slab_vmem, grow_vmem, dslab_vmem, dslab_rows, dma_sem,
                 g_sem, d_sem,
-                *, chunk, ca, cv, kr, grid_x, tile):
+                *, chunk, ca, cv, kr, grid_x, tile, has_gwsum=True):
     """Reverse sweep: chunks from last to first, reconstructing logT.
 
     Emits per-instance gradients d_slab [KR, chunk] per chunk.  Carries
@@ -348,7 +348,8 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
     @pl.when(nchunks_eff > 0)
     def _():
         slab_copy(nchunks_eff - 1, 0).start()
-        g_copy(nchunks_eff - 1, 0).start()
+        if has_gwsum:
+            g_copy(nchunks_eff - 1, 0).start()
 
     def body(i, carry):
         logT_after, suf = carry
@@ -358,10 +359,12 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
         @pl.when(i + 1 < nchunks_eff)
         def _():
             slab_copy(c - 1, (i + 1) % 2).start()
-            g_copy(c - 1, (i + 1) % 2).start()
+            if has_gwsum:
+                g_copy(c - 1, (i + 1) % 2).start()
 
         slab_copy(c, slot).wait()
-        g_copy(c, slot).wait()
+        if has_gwsum:
+            g_copy(c, slot).wait()
 
         slab = slab_vmem[slot].T      # [KR, chunk]
         m = _chunk_math(slab, px, py, chunk)
@@ -375,7 +378,8 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
         attrs = slab[NG:NG + ca, :]
         # dL/dw: plain channels + per-instance wsum grads (+ vertex below)
         dw = _dot(g_plain, attrs, ((1,), (0,)))           # [PIX, chunk]
-        dw += grow_vmem[slot]                             # broadcast [1,chunk]
+        if has_gwsum:
+            dw += grow_vmem[slot]                         # broadcast [1,chunk]
 
         # ---- vertex path ----
         d_du0 = jnp.zeros_like(w)
@@ -497,16 +501,24 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
 
 def blend_backward(slab: jax.Array, tile_start: jax.Array,
                    tile_count: jax.Array, g_out: jax.Array,
-                   logt_final: jax.Array, g_wsum: jax.Array, *,
+                   logt_final: jax.Array, g_wsum: Optional[jax.Array], *,
                    ca: int, cv: int, num_tiles: int, grid_x: int,
                    tile: int = 16, chunk: int = 128,
                    interpret: bool = False) -> jax.Array:
     """slab/d_slab are ROW-major [M, KR].  d_slab rows for chunks whose
     tiles were processed are written; the tail past the last tile's range
-    is NOT (mask with inst_valid / gauss_pos)."""
+    is NOT (mask with inst_valid / gauss_pos).
+
+    ``g_wsum=None`` drops the per-instance weight-sum cotangent path (the
+    CUDA reference's out_weights is non-differentiable; training losses
+    never read weights, so the [1, M] gather + per-chunk loads are waste)."""
     m, kr = slab.shape
+    has_gwsum = g_wsum is not None
+    if not has_gwsum:
+        g_wsum = jnp.zeros((1, chunk), jnp.float32)
     kernel = functools.partial(_bwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
-                               grid_x=grid_x, tile=tile)
+                               grid_x=grid_x, tile=tile,
+                               has_gwsum=has_gwsum)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),

@@ -31,7 +31,8 @@ def _auto_interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret):
+def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret,
+                wgrad=True):
     kw = dict(ca=ca, cv=cv, num_tiles=num_tiles, grid_x=grid_x, tile=tile,
               chunk=chunk, interpret=interpret)
 
@@ -51,7 +52,10 @@ def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret):
     def blend_bwd(res, cotangents):
         slab, tile_start, tile_count, inst_valid, meta = res
         g_out, g_wsum = cotangents
-        g_wsum = jnp.where(inst_valid[None, :], g_wsum, 0.0)
+        if wgrad:
+            g_wsum = jnp.where(inst_valid[None, :], g_wsum, 0.0)
+        else:
+            g_wsum = None
         d_slab = blend_pallas.blend_backward(
             slab, tile_start, tile_count, g_out, meta, g_wsum, **kw)
         d_slab = jnp.where(inst_valid[:, None], d_slab, 0.0)
@@ -63,45 +67,53 @@ def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret):
 
 @functools.lru_cache(maxsize=None)
 def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
-                       interpret):
+                       interpret, wgrad=True):
     """Blend wrapper for the counting binner: the custom-VJP boundary covers
     instance gather + kernel, and the backward reduces per-instance
-    gradients to per-gaussian rows with one masked scatter-add over the
-    instances' gaussian ids (measured faster on TPU than gathering each
-    gaussian's slot positions: XLA sorts the indices and streams the adds,
-    ~7.4 ms vs ~20 ms for the gather+permute formulation at bench shapes)."""
+    gradients to per-gaussian rows with one scatter-add over the instances'
+    gaussian ids (measured faster on TPU than gathering each gaussian's
+    slot positions: XLA sorts the indices and streams the adds, ~7.4 ms vs
+    ~20 ms for the gather+permute formulation at bench shapes).
+
+    ``slab_rows`` arrives with one extra all-zero row (index ``n``); padding
+    slots gather that row (opacity 0 -> kernel skip) and their gradients
+    scatter back into it, so no [M, KR]-sized select passes are needed on
+    either side.  ``wgrad=False`` drops the weights-cotangent path entirely
+    (the CUDA out_weights buffer is likewise non-differentiable)."""
     kw = dict(ca=ca, cv=cv, num_tiles=num_tiles, grid_x=grid_x, tile=tile,
               chunk=chunk, interpret=interpret)
 
-    def _instance_slab(slab_rows, gid, inst_valid):
-        rows = slab_rows[jnp.clip(gid, 0, n - 1)]           # [M, KR] row gather
-        return jnp.where(inst_valid[:, None], rows, 0.0)
+    def _safe_idx(gid):
+        # padding slots carry gid == -1 -> route to the zero row n
+        return jnp.where(gid >= 0, gid, n)
 
-    def _scatter_reduce(x_inst, gid, inst_valid):
+    def _instance_slab(slab_rows, gid):
+        return slab_rows[_safe_idx(gid)]               # [M, KR] row gather
+
+    def _scatter_reduce_ext(x_inst, gid):
         """Sum per-instance values into per-gaussian rows (original gaussian
-        index space — gid carries original ids).  Tile-run padding slots are
-        masked out: the kernel can emit nonzero opacity-row gradients for
-        them (d alpha / d opacity = exp(-q) even at opacity 0)."""
-        mask = inst_valid if x_inst.ndim == 1 else inst_valid[:, None]
-        x = jnp.where(mask, x_inst, 0.0)
-        out = jnp.zeros((n,) + x_inst.shape[1:], x_inst.dtype)
-        return out.at[jnp.clip(gid, 0, n - 1)].add(x)
+        index space — gid carries original ids).  Tile-run padding slots
+        land in the sacrificial row n (the kernel can emit nonzero
+        opacity-row gradients for them: d alpha / d opacity = exp(-q) even
+        at opacity 0); callers slice or keep that row as needed."""
+        out = jnp.zeros((n + 1,) + x_inst.shape[1:], x_inst.dtype)
+        return out.at[_safe_idx(gid)].add(x_inst)
 
     @jax.custom_vjp
     def blend(slab_rows, gid, inst_valid, tile_start, tile_count, order,
               gauss_pos, gauss_nslots):
-        slab = _instance_slab(slab_rows, gid, inst_valid)
+        slab = _instance_slab(slab_rows, gid)
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
-        weights = _scatter_reduce(wsum[0], gid, inst_valid)
+        weights = _scatter_reduce_ext(wsum[0], gid)[:n]
         return out, weights
 
     def blend_fwd(slab_rows, gid, inst_valid, tile_start, tile_count, order,
                   gauss_pos, gauss_nslots):
-        slab = _instance_slab(slab_rows, gid, inst_valid)
+        slab = _instance_slab(slab_rows, gid)
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
-        weights = _scatter_reduce(wsum[0], gid, inst_valid)
+        weights = _scatter_reduce_ext(wsum[0], gid)[:n]
         meta = out[..., ca + cv:ca + cv + 3]
         res = (slab_rows, gid, inst_valid, tile_start, tile_count, order,
                gauss_pos, gauss_nslots, meta)
@@ -111,13 +123,18 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         (slab_rows, gid, inst_valid, tile_start, tile_count, order,
          gauss_pos, gauss_nslots, logt) = res
         g_out, g_weights = cotangents
-        slab = _instance_slab(slab_rows, gid, inst_valid)
-        # per-instance wsum cotangent = its gaussian's weights cotangent
-        g_wsum = jnp.where(inst_valid,
-                           g_weights[jnp.clip(gid, 0, n - 1)], 0.0)[None]
+        slab = _instance_slab(slab_rows, gid)
+        if wgrad:
+            # per-instance wsum cotangent = its gaussian's weights cotangent
+            g_ext = jnp.concatenate([g_weights, jnp.zeros((1,))])
+            g_wsum = g_ext[_safe_idx(gid)][None]
+        else:
+            g_wsum = None
         d_inst = blend_pallas.blend_backward(
             slab, tile_start, tile_count, g_out, logt, g_wsum, **kw)
-        d_rows = _scatter_reduce(d_inst, gid, inst_valid)
+        # padding-slot gradients land in the sacrificial row n; the caller's
+        # row-pad VJP slices it off, so no masking pass is needed
+        d_rows = _scatter_reduce_ext(d_inst, gid)
         return (d_rows, None, None, None, None, None, None, None)
 
     blend.defvjp(blend_fwd, blend_bwd)
@@ -199,6 +216,7 @@ def rasterize(
     scale_modifier: float = 1.0,
     cfg: RasterConfig = RasterConfig(),
     interpret: Optional[bool] = None,
+    weights_grad: bool = True,
 ) -> RenderBuffers:
     """Differentiable surfel rasterization for one camera.
 
@@ -243,10 +261,13 @@ def rasterize(
     slab_g, ca, cv = _pack_slab(prep, opacity, features, vfeatures, cfg)
     n = means3d.shape[0]
     if padded.order is not None:
+        # one extra all-zero row: padding slots (gid -1) gather it and their
+        # gradients scatter back into it — no [M, KR] select passes
+        slab_ext = jnp.pad(slab_g, ((0, 1), (0, 0)))
         blend = _make_blend_gather(ca, cv, num_tiles, grid_x, tile,
                                    cfg.chunk, n, cfg.max_instances,
-                                   cfg.rect_cap, interpret)
-        out, weights = blend(slab_g, padded.gaussian_id,
+                                   cfg.rect_cap, interpret, weights_grad)
+        out, weights = blend(slab_ext, padded.gaussian_id,
                              padded.inst_valid, padded.tile_start,
                              padded.tile_count, padded.order,
                              padded.gauss_pos, padded.gauss_nslots)
@@ -254,7 +275,7 @@ def rasterize(
         gid = jnp.clip(padded.gaussian_id, 0, n - 1)
         slab = jnp.where(padded.inst_valid[:, None], slab_g[gid], 0.0)
         blend = _make_blend(ca, cv, num_tiles, grid_x, tile, cfg.chunk,
-                            interpret)
+                            interpret, weights_grad)
         out, wsum = blend(slab, padded.tile_start, padded.tile_count,
                           padded.inst_valid)
         # per-gaussian weight sums (out_weights, forward.cu:653)

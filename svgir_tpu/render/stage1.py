@@ -45,10 +45,12 @@ def render_view_stage1(camera, params, bg: jax.Array, *,
     depths = (jnp.concatenate([xyz, ones], -1) @ camera.world_view.T)[:, 2:3]
     features = jnp.concatenate([geo_normal, depths, depths * depths], -1)
 
+    # weights_grad=False: weights only feed densification stats (no loss
+    # term), matching the reference's non-differentiable out_weights buffer
     bufs = rasterize(
         xyz, scaling, rotation, opacity, camera, bg,
         shs=G.get_shs(params), sh_degree=sh_degree, features=features,
-        mean2d_offset=mean2d_offset, cfg=cfg, mask=alive)
+        mean2d_offset=mean2d_offset, cfg=cfg, mask=alive, weights_grad=False)
 
     opac = bufs.opacity
     mask_contrib = (bufs.n_contrib > 0).astype(jnp.float32)[None]

@@ -86,11 +86,13 @@ def render_view_svgss(camera, params, bake: Dict, env_params, bg: jax.Array,
             [pbr, base_color, nrm_view, roughness, extra["direct"],
              extra["indirect"]], axis=-1)                        # VS=64
 
+    # weights_grad=False: weights only feed densification stats (no loss
+    # term), matching the reference's non-differentiable out_weights buffer
     bufs = rasterize(xyz, G.get_scaling(params), G.get_rotation(params),
                      opacity, camera, bg, shs=G.get_shs(params),
                      sh_degree=sh_degree, features=features,
                      vfeatures=vfeatures, mean2d_offset=mean2d_offset,
-                     cfg=cfg, mask=alive)
+                     cfg=cfg, mask=alive, weights_grad=False)
 
     opac = bufs.opacity
     feat = bufs.feature / jnp.clip(opac, min=1e-5)

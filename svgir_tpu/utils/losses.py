@@ -10,7 +10,6 @@ with replicate padding.  Sign/flip conventions are irrelevant downstream
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -42,32 +41,29 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return np.outer(g, g)
 
 
-def _depthwise_conv(img: jax.Array, kern: jax.Array, padding) -> jax.Array:
-    """img [C, H, W], kern [kh, kw] applied per channel."""
-    c = img.shape[0]
-    lhs = img[None]                                 # [1, C, H, W]
-    rhs = jnp.broadcast_to(kern[None, None], (c, 1, *kern.shape))
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1, 1), padding=padding,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
-    return out[0]
+def _band_matrix(n: int, g1d: np.ndarray) -> np.ndarray:
+    """Banded Toeplitz matrix equivalent to a zero-padded 1-D convolution
+    with kernel ``g1d``: row u holds g1d centered at column u."""
+    k = g1d.shape[0]
+    pad = k // 2
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    d = j - i + pad
+    return np.where((d >= 0) & (d < k), g1d[np.clip(d, 0, k - 1)],
+                    0.0).astype(np.float32)
 
 
-def _separable_conv(img: jax.Array, kern1d: jax.Array, pad: int) -> jax.Array:
-    """Depthwise 2-D gaussian blur as two 1-D passes (the 11x11 window is
-    separable: 22 taps instead of 121)."""
-    c = img.shape[0]
-    k = kern1d.shape[0]
-    lhs = img[None]
-    rhs_v = jnp.broadcast_to(kern1d[None, None, :, None], (c, 1, k, 1))
-    rhs_h = jnp.broadcast_to(kern1d[None, None, None, :], (c, 1, 1, k))
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs_v, (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
-    out = jax.lax.conv_general_dilated(
-        out, rhs_h, (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
-    return out[0]
+def _separable_blur(img: jax.Array, g1d: np.ndarray) -> jax.Array:
+    """Depthwise separable gaussian blur of [C, H, W] as two banded-matrix
+    contractions.  XLA lowers the equivalent grouped convolution at C=3 to
+    ~0.33 ms/call plus layout copies on TPU; the MXU matmul form runs the
+    whole 5-quantity SSIM blur in well under a millisecond."""
+    h, w = img.shape[-2:]
+    bh = jnp.asarray(_band_matrix(h, g1d))
+    bw = jnp.asarray(_band_matrix(w, g1d))
+    hp = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("uh,chw->cuw", bh, img, precision=hp)
+    return jnp.einsum("cuw,wv->cuv", out, bw, precision=hp)
 
 
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
@@ -75,14 +71,15 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
     g1d = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
                  / (2 * 1.5 ** 2))
     g1d = (g1d / g1d.sum()).astype(np.float32)
-    kern1d = jnp.asarray(g1d)
-    pad = window_size // 2
-    conv = partial(_separable_conv, kern1d=kern1d, pad=pad)
-    mu1, mu2 = conv(img1), conv(img2)
+    c = img1.shape[0]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
+    blurred = _separable_blur(stacked, g1d)
+    mu1, mu2 = blurred[0:c], blurred[c:2 * c]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = conv(img1 * img1) - mu1_sq
-    sigma2_sq = conv(img2 * img2) - mu2_sq
-    sigma12 = conv(img1 * img2) - mu1_mu2
+    sigma1_sq = blurred[2 * c:3 * c] - mu1_sq
+    sigma2_sq = blurred[3 * c:4 * c] - mu2_sq
+    sigma12 = blurred[4 * c:5 * c] - mu1_mu2
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

@@ -116,6 +116,34 @@ class TestVJP:
                 np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-4,
                 err_msg=f"gradient mismatch for {name}")
 
+    def test_weights_grad_false_matches_other_grads(self):
+        """The production paths set weights_grad=False (reference parity:
+        out_weights is non-differentiable in CUDA too); every other gradient
+        must be identical to the weights_grad=True path when the loss does
+        not touch weights."""
+        scene = sphere_scene(jax.random.PRNGKey(11), n=30, s_feat=1,
+                             vs_feat=4)
+        cam = default_camera(32, 32)
+        bg = jnp.zeros(3)
+        tgt = jax.random.uniform(jax.random.PRNGKey(12), (3, 32, 32))
+
+        def make_loss(wgrad):
+            def loss(means, opac, vfeats):
+                b = rasterize(means, scene["scales"], scene["quats"], opac,
+                              cam, bg, colors=scene["colors"],
+                              features=scene["features"], vfeatures=vfeats,
+                              cfg=CFG, interpret=True, weights_grad=wgrad)
+                return (jnp.abs(b.color - tgt).mean() + b.depth.mean()
+                        + 0.1 * b.vfeature.sum())
+            return loss
+
+        args = (scene["means"], scene["opacity"], scene["vfeatures"])
+        g_true = jax.grad(make_loss(True), argnums=(0, 1, 2))(*args)
+        g_false = jax.grad(make_loss(False), argnums=(0, 1, 2))(*args)
+        for a, b in zip(g_true, g_false):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
+
     def test_mean2d_offset_grads(self):
         """Screen-space gradient hook used for densification stats."""
         scene = sphere_scene(jax.random.PRNGKey(6), n=30)
