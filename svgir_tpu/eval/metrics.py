@@ -47,20 +47,24 @@ _LPIPS_CACHE = {}
 
 
 def lpips(a, b, weights_path: Optional[str] = None) -> Optional[float]:
-    """LPIPS-vgg if torchvision weights are available; else None."""
-    if weights_path is None:
+    """LPIPS-vgg (JAX, svgir_tpu/eval/lpips_jax.py) when a weights .npz is
+    available — the path argument, else $SVGIR_LPIPS_WEIGHTS, else
+    ``lpips_vgg.npz`` next to the repo root.  Returns None (metric columns
+    show n/a) when no weights exist; use tools/convert_lpips_weights.py to
+    produce the file from the torchvision + richzhang checkpoints."""
+    import os
+    path = (weights_path or os.environ.get("SVGIR_LPIPS_WEIGHTS")
+            or os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+                "lpips_vgg.npz"))
+    if not os.path.exists(path):
         return None
     try:
-        import torch
-        if "net" not in _LPIPS_CACHE:
-            _LPIPS_CACHE["net"] = torch.load(weights_path,
-                                             map_location="cpu")
-        # a full torchscript lpips module saved at weights_path
-        net = _LPIPS_CACHE["net"]
-        with torch.no_grad():
-            ta = torch.from_numpy(np.asarray(a))[None] * 2 - 1
-            tb = torch.from_numpy(np.asarray(b))[None] * 2 - 1
-            return float(net(ta, tb).item())
+        if path not in _LPIPS_CACHE:
+            from svgir_tpu.eval.lpips_jax import LPIPSJax
+            _LPIPS_CACHE[path] = LPIPSJax.from_npz(path)
+        net = _LPIPS_CACHE[path]
+        return float(net(a, b)[0])
     except Exception:
         return None
 

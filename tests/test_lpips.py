@@ -1,0 +1,92 @@
+"""LPIPS-vgg JAX implementation vs a torch-functional replication of the
+reference lpipsPyTorch pipeline, on random weights (the real weights file
+is produced offline by tools/convert_lpips_weights.py — zero-egress image).
+"""
+
+import numpy as np
+import pytest
+
+from svgir_tpu.eval.lpips_jax import (LPIPSJax, N_CHANNELS, VGG16_BLOCKS,
+                                      _SCALE, _SHIFT, required_keys)
+
+
+def random_weights(seed=0):
+    rng = np.random.default_rng(seed)
+    w = {}
+    cin = 3
+    for bi, blk in enumerate(VGG16_BLOCKS):
+        cout = N_CHANNELS[bi]
+        for idx in blk:
+            w[f"conv{idx}/w"] = rng.normal(
+                0, 0.2, (cout, cin, 3, 3)).astype(np.float32)
+            w[f"conv{idx}/b"] = rng.normal(0, 0.1, (cout,)).astype(np.float32)
+            cin = cout
+    for k in range(5):
+        w[f"lin{k}"] = np.abs(rng.normal(
+            0, 0.05, (N_CHANNELS[k],))).astype(np.float32)
+    return w
+
+
+def torch_lpips(weights, x, y):
+    """Reference pipeline in plain torch.nn.functional (networks.py:36-63,
+    lpips.py:30-37) — no torchvision needed."""
+    import torch
+    import torch.nn.functional as F
+
+    def feats(img):
+        t = torch.from_numpy(img)[None]
+        t = (t - torch.tensor(_SHIFT)[None, :, None, None]) / \
+            torch.tensor(_SCALE)[None, :, None, None]
+        taps = []
+        for bi, blk in enumerate(VGG16_BLOCKS):
+            if bi:
+                t = F.max_pool2d(t, 2, 2)
+            for idx in blk:
+                t = F.relu(F.conv2d(t, torch.from_numpy(weights[f"conv{idx}/w"]),
+                                    torch.from_numpy(weights[f"conv{idx}/b"]),
+                                    padding=1))
+            norm = torch.sqrt(torch.sum(t ** 2, dim=1, keepdim=True))
+            taps.append(t / (norm + 1e-10))
+        return taps
+
+    fx, fy = feats(x), feats(y)
+    total = 0.0
+    for k, (a, b) in enumerate(zip(fx, fy)):
+        d = (a - b) ** 2
+        lin = torch.from_numpy(weights[f"lin{k}"])[None, :, None, None]
+        total = total + (d * lin).sum(1).mean()
+    return float(total)
+
+
+def test_matches_torch_reference_pipeline():
+    torch = pytest.importorskip("torch")
+    w = random_weights()
+    rng = np.random.default_rng(1)
+    x = rng.random((3, 64, 64)).astype(np.float32)
+    y = rng.random((3, 64, 64)).astype(np.float32)
+    net = LPIPSJax(w)
+    ours = float(net(x, y)[0])
+    ref = torch_lpips(w, x, y)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4)
+
+
+def test_zero_distance_on_identical_images():
+    net = LPIPSJax(random_weights())
+    x = np.random.default_rng(2).random((3, 32, 32)).astype(np.float32)
+    assert abs(float(net(x, x)[0])) < 1e-7
+    y = x + 0.3
+    assert float(net(x, np.clip(y, 0, 1))[0]) > 1e-4
+
+
+def test_metrics_lpips_loads_npz(tmp_path):
+    import os
+
+    from svgir_tpu.eval import metrics as M
+    path = os.path.join(tmp_path, "lpips_vgg.npz")
+    np.savez(path, **random_weights())
+    x = np.random.default_rng(3).random((3, 32, 32)).astype(np.float32)
+    val = M.lpips(x, x, weights_path=path)
+    assert val is not None and abs(val) < 1e-7
+    assert M.lpips(x, x, weights_path=os.path.join(tmp_path, "nope.npz")) \
+        is None
+    assert set(required_keys()) == set(random_weights().keys())
