@@ -41,7 +41,12 @@ def build():
     # the step scales with this cap, so size it to the scene like the CUDA
     # reference sizes its dynamic buffers (measured ~345k instances here;
     # 1<<19 leaves 1.5x headroom and is overflow-checked below).
-    cfg = RasterConfig(max_instances=1 << 19, chunk=128)
+    # rect_cap must cover the scene's largest tile rect (169 tiles: random
+    # rotations make some surfels edge-on with huge EWA extents) or the
+    # binner truncates splats the CUDA reference would keep.
+    import os
+    rect_cap = int(os.environ.get("SVGIR_BENCH_RECT_CAP", "192"))
+    cfg = RasterConfig(max_instances=1 << 19, chunk=128, rect_cap=rect_cap)
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 4)

@@ -53,19 +53,18 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
     r_total = n * s
     nchunks = -(-r_total // ray_chunk)
 
-    # brute force is exact but O(N * rays); switch to the uniform-grid
-    # tracer (identical outputs, see ops/grid_tracer.py) at scale
+    # brute force is exact but O(N * rays); the uniform-grid tracer
+    # (identical outputs, see ops/grid_tracer.py) is the default at any
+    # real bake scale — brute force stays for tiny scenes and as the
+    # parity oracle in tests
     if use_grid is None:
-        # NOTE: the grid path compiles slowly through the remote TPU
-        # compiler in this environment; brute force is ~213 s at 50k x 24
-        # rays, so auto-enable only where brute force becomes untenable
-        use_grid = n > 100_000
+        use_grid = n >= 4096
     grid = None
     if use_grid:
         from svgir_tpu.ops import grid_tracer
         res = grid_tracer.auto_res(geo)
-        grid = grid_tracer.build_grid(geo, res=res, cell_cap=64,
-                                      max_cells_per_gauss=64)
+        grid = grid_tracer.build_grid_auto(geo, res=res, cell_cap=64,
+                                           max_cells_per_gauss=64)
         # smaller ray batches keep the per-step gather graph within the
         # TPU compiler's appetite
         ray_chunk = min(ray_chunk, 8192)

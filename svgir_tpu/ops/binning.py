@@ -177,11 +177,17 @@ def bin_instances_counting(prep: Preprocessed, *,
     y0 = jnp.where(valid_s, prep.rect_min[order, 1], 0)
     x1 = jnp.where(valid_s, prep.rect_max[order, 0], 0)
     y1 = jnp.where(valid_s, prep.rect_max[order, 1], 0)
-    touched = jnp.where(valid_s, (x1 - x0) * (y1 - y0), 0)
-    touched = jnp.minimum(touched, rect_cap)
+    touched_raw = jnp.where(valid_s, (x1 - x0) * (y1 - y0), 0)
+    touched = jnp.minimum(touched_raw, rect_cap)
+    # a splat spanning more than rect_cap tiles keeps only its first
+    # rect_cap instances (row-major) — flag it so trainers can raise the cap
+    rect_overflow = jnp.any(touched_raw > rect_cap)
 
     # ---- Pallas two-pass binning: counts, then prefix ranks + slots ------
-    gauss_chunk = 512
+    # 256: the slots kernel's Hillis-Steele prefix ladder keeps ~3 live
+    # [CH, T_pad] i32 copies; 512 exceeds the 16M scoped-vmem limit at
+    # T_pad 2560 (800x800)
+    gauss_chunk = 256
     npad = (-n) % gauss_chunk
     def pad(a):
         return jnp.concatenate([a, jnp.zeros((npad,), a.dtype)])
@@ -196,7 +202,7 @@ def bin_instances_counting(prep: Preprocessed, *,
         x0p, y0p, x1p, y1p, touched_p, grid_x=grid_x, grid_y=grid_y,
         rect_cap=rect_cap, chunk=chunk, m=m, gauss_chunk=gauss_chunk,
         interpret=interpret)
-    overflow = total > m
+    overflow = (total > m) | rect_overflow
     total = jnp.minimum(total, m)
     pos = jnp.minimum(pos, m)     # capacity overflow slots -> dropped
 

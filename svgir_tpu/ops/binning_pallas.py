@@ -71,18 +71,18 @@ def _slots_kernel(x0_ref, y0_ref, x1_ref, y1_ref, nslots_ref, start_ref,
     x1 = x1_ref[0, 0][:, None]
     y1 = y1_ref[0, 0][:, None]
     cov = _cov(x0, y0, x1, y1, grid_x, grid_y, num_tiles_pad)
-    # f32 0/1 operands with f32 accumulation: exact, and accepted by every
-    # Mosaic path (the AOT compiler rejects bf16 lhs at these shapes —
-    # "Bad lhs type for vector<512x128xbf16>"); 0/1 values are exact even
-    # if the compiler lowers via a single bf16 pass.
-    covf = cov.astype(jnp.float32)
-
-    gi = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
-    tril = (gi > gj).astype(jnp.float32)
-    excl = jax.lax.dot_general(
-        tril, covf, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
+    # exclusive prefix of coverage down the chunk: a log-depth integer
+    # prefix sum via sublane shifts on the VPU (the [CH, CH] triangular f32
+    # matmul costs ~4 ms of MXU time at bench shapes; Mosaic has no cumsum
+    # primitive, so build the Hillis-Steele ladder from pad-shifts)
+    covi = cov.astype(jnp.int32)
+    incl = covi
+    d = 1
+    while d < ch:
+        zeros = jnp.zeros((d, num_tiles_pad), jnp.int32)
+        incl = incl + jnp.concatenate([zeros, incl[:ch - d]], axis=0)
+        d *= 2
+    excl = incl - covi
     excl = excl + carry[:, :]            # broadcast [1, T] over rows
 
     # value to extract per rect slot: global slot index

@@ -32,6 +32,10 @@ class RenderBuffers(NamedTuple):
     n_contrib: jax.Array  # [H, W] int32
     weights: jax.Array    # [N, 1] per-gaussian blended weight sums
     radii: jax.Array      # [N] int32 screen radii (0 = culled)
+    # [] bool — true when the binner hit max_instances (or rect_cap overflow
+    # truncated placement); splats were silently dropped this frame.  The
+    # dense oracle never overflows (False).
+    overflow: jax.Array = False
 
 
 def render_dense(

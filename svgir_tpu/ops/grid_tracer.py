@@ -107,6 +107,22 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
                      cell_cap=cell_cap, overflow=overflow)
 
 
+def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
+                    cell_cap: int = 64, max_cells_per_gauss: int = 64,
+                    sigma: float = 3.0, cap_limit: int = 1024) -> TraceGrid:
+    """build_grid with graceful cell-cap overflow handling: doubles the cap
+    (recompiling the query kernels at the new static width) until every
+    cell's candidate list fits or ``cap_limit`` is reached.  Eager-only —
+    grids are built on the host at bake time."""
+    while True:
+        grid = build_grid(geo, res=res, cell_cap=cell_cap,
+                          max_cells_per_gauss=max_cells_per_gauss,
+                          sigma=sigma)
+        if not bool(grid.overflow) or cell_cap >= cap_limit:
+            return grid
+        cell_cap *= 2
+
+
 def _gather_candidates(grid: TraceGrid, pos: jax.Array) -> jax.Array:
     """Cell candidate ids [R, L] at world positions [R, 3]."""
     c = jnp.clip(((pos - grid.lo) * grid.inv_cell).astype(jnp.int32),
@@ -154,6 +170,18 @@ def _test_candidates(geo: tracing.SurfelGeometry, ids, rays_o, rays_d,
             "ok": ok, "idx": ids}
 
 
+def _concrete_n_steps(grid: TraceGrid, t_max: float) -> int:
+    """Step count covering [0, t_max] at half-cell strides, computed from
+    CONCRETE grid arrays (grids are built eagerly at bake time).  Falls
+    back to the diagonal bound when the grid is traced."""
+    try:
+        import numpy as np
+        dt = float(np.min(1.0 / np.asarray(grid.inv_cell))) * 0.5
+        return max(1, min(int(np.ceil(t_max / dt)), 6 * int(grid.res)))
+    except Exception:               # traced grid inside jit
+        return 4 * int(grid.res)
+
+
 def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
                       rays_o: jax.Array, rays_d: jax.Array, *,
                       t_max: float = 2.0, k: int = 16,
@@ -162,12 +190,12 @@ def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
 
     Marches positions at half-cell steps up to ``t_max``; each step tests
     the local cell list within its own t-span so every surfel is accepted
-    at most once.
+    at most once.  Steps advance monotonically in t, so merged hits stay
+    globally depth-sorted; steps whose cells produce no accepted candidate
+    skip the top-k merge entirely (most of space is empty).
     """
     if n_steps is None:
-        # covers the grid diagonal; resolved OUTSIDE jit (grid.res is a
-        # python int only until the tuple crosses a jit boundary)
-        n_steps = 4 * int(grid.res)
+        n_steps = _concrete_n_steps(grid, t_max)
     return _nearest_hits_grid(geo, grid, rays_o, rays_d, t_max=t_max, k=k,
                               n_steps=n_steps)
 
@@ -192,18 +220,24 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps):
         ids = _gather_candidates(grid, mid)
         cand = _test_candidates(geo, ids, rays_o, rays_d,
                                 jnp.full((r,), t_lo), jnp.full((r,), t_hi))
-        all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
-        all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
-        all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]], axis=1)
-        all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
-        neg_top, sel = jax.lax.top_k(-all_t, k)
-        take = jnp.take_along_axis
-        return {
-            "t": -neg_top,
-            "idx": take(all_idx, sel, axis=1),
-            "alpha": take(all_alpha, sel, axis=1),
-            "uv": take(all_uv, sel[..., None], axis=1),
-        }, None
+
+        def merge(carry):
+            all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
+            all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
+            all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]],
+                                        axis=1)
+            all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
+            neg_top, sel = jax.lax.top_k(-all_t, k)
+            take = jnp.take_along_axis
+            return {
+                "t": -neg_top,
+                "idx": take(all_idx, sel, axis=1),
+                "alpha": take(all_alpha, sel, axis=1),
+                "uv": take(all_uv, sel[..., None], axis=1),
+            }
+
+        return jax.lax.cond(jnp.any(cand["ok"]), merge, lambda c: c,
+                            carry), None
 
     hits, _ = jax.lax.scan(body, init, jnp.arange(n_steps))
     return hits

@@ -307,4 +307,5 @@ def rasterize(
     return RenderBuffers(
         color=color, normal=normal, depth=depth, opacity=(1.0 - T)[None],
         feature=feat, vfeature=vfeat, final_t=T, n_contrib=n_contrib,
-        weights=weights[:, None], radii=prep.radius)
+        weights=weights[:, None], radii=prep.radius,
+        overflow=padded.overflow)

@@ -120,7 +120,9 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
         blend = _make_blend_gather(ca, cv, num_tiles_local, grid_x, tile,
                                    cfg.chunk, n, m_local, cfg.rect_cap,
                                    interpret)
-        out, weights = blend(slab, padded.gaussian_id, padded.inst_valid,
+        # sacrificial zero row for padding slots (see _make_blend_gather)
+        slab_ext = jnp.pad(slab, ((0, 1), (0, 0)))
+        out, weights = blend(slab_ext, padded.gaussian_id, padded.inst_valid,
                              padded.tile_start, padded.tile_count,
                              padded.order, padded.gauss_pos,
                              padded.gauss_nslots)

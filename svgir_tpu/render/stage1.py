@@ -74,6 +74,7 @@ def render_view_stage1(camera, params, bg: jax.Array, *,
         "radii": bufs.radii,
         "visibility_filter": bufs.radii > 0,
         "n_contrib": bufs.n_contrib,
+        "overflow": bufs.overflow,
         "buffers": bufs,
     }
 

@@ -109,6 +109,7 @@ def render_view_svgss(camera, params, bake: Dict, env_params, bg: jax.Array,
         "radii": bufs.radii,
         "visibility_filter": bufs.radii > 0,
         "n_contrib": bufs.n_contrib,
+        "overflow": bufs.overflow,
         "diffuse_light": extra["diffuse_light"],
     }
 

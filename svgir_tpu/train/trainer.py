@@ -75,6 +75,7 @@ def make_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
         new_state = {"params": params, "alive": alive, "stats": stats}
         tb = dict(res["tb_dict"])
         tb["n_visible"] = visible.sum()
+        tb["overflow"] = res["overflow"]
         return new_state, opt_state, tb
 
     return step
@@ -229,11 +230,24 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                      "loss": float(tb["loss"]),
                      "n_alive": int(state["alive"].sum()),
                      "elapsed": time.time() - t0, **extras}
+            _warn_overflow(entry, tb, it)
             history.append(entry)
             if callback:
                 callback(entry, state)
 
     return state, opt_state, history
+
+
+def _warn_overflow(entry, tb, it):
+    """Surface binner overflow (instances silently truncated this frame):
+    the CUDA reference grows its buffers dynamically (rasterizer_impl.cu:
+    70-111); our fixed caps must be raised via RasterConfig.max_instances
+    when this fires."""
+    if bool(tb.get("overflow", False)):
+        entry["overflow"] = 1.0
+        print(f"WARNING: instance-buffer overflow at iter {it}: splats were "
+              "dropped; raise RasterConfig.max_instances (or rect_cap)",
+              flush=True)
 
 
 def make_svgss_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
@@ -282,6 +296,7 @@ def make_svgss_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
         new_state = {"params": params, "alive": alive, "stats": stats}
         new_env = {"params": env_params, "opt": env_opt}
         tb = dict(res["tb_dict"])
+        tb["overflow"] = res["overflow"]
         return new_state, opt_state, new_env, tb
 
     return step
@@ -395,6 +410,7 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
                      "psnr_pbr": float(tb["psnr_pbr"]),
                      "loss": float(tb["loss"]),
                      "elapsed": time.time() - t0, **extras}
+            _warn_overflow(entry, tb, it)
             history.append(entry)
             if callback:
                 callback(entry, state, env_state)

@@ -1,0 +1,90 @@
+"""Counting vs sort binner equivalence on scenes with splats spanning more
+tiles than the default rect_cap (VERDICT r1 #6: early-training splats are
+routinely larger than 4x4 tiles — CUDA duplication is unbounded,
+rasterizer_impl.cu:70-111; the counting binner must match the sort binner
+whenever rect_cap covers the largest rect, and must FLAG truncation when it
+does not)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svgir_tpu.cameras import look_at_camera
+from svgir_tpu.config import RasterConfig
+from svgir_tpu.ops.rasterizer import rasterize
+import math
+
+
+def big_splat_scene(n_small=25, seed=7):
+    """A handful of small splats plus two huge ones covering most of the
+    image (>> 16 tiles at 128x128 / tile 16 = 8x8 grid)."""
+    k = jax.random.split(jax.random.PRNGKey(seed), 3)
+    means = jnp.concatenate([
+        jax.random.normal(k[0], (n_small, 3)) * 0.4,
+        jnp.array([[0.0, 0.0, 0.3], [0.2, -0.1, 0.6]]),
+    ])
+    n = n_small + 2
+    quats = jnp.tile(jnp.array([[0.0, 1.0, 0.0, 0.0]]), (n, 1))
+    scales = jnp.concatenate([
+        jnp.full((n_small, 3), 0.05),
+        jnp.full((2, 3), 1.5),          # huge: rect spans the whole grid
+    ]).at[:, 2].set(0.0)
+    opac = jnp.full((n,), 0.8)
+    colors = jax.random.uniform(k[1], (n, 3))
+    return means, scales, quats, opac, colors
+
+
+def test_counting_matches_sort_with_sufficient_rect_cap():
+    means, scales, quats, opac, colors = big_splat_scene()
+    cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
+                         fovx=math.pi / 3, fovy=math.pi / 3,
+                         width=128, height=128)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    base = RasterConfig(max_instances=1 << 13, chunk=128)
+
+    b_sort = rasterize(means, scales, quats, opac, cam, bg, colors=colors,
+                       cfg=dataclasses.replace(base, binner="sort"),
+                       interpret=True)
+    # 8x8 grid -> biggest rect is 64 tiles; cap 64 loses nothing
+    b_cnt = rasterize(means, scales, quats, opac, cam, bg, colors=colors,
+                      cfg=dataclasses.replace(base, binner="counting",
+                                              rect_cap=64),
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(b_cnt.color),
+                               np.asarray(b_sort.color), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_cnt.depth),
+                               np.asarray(b_sort.depth), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_cnt.weights),
+                               np.asarray(b_sort.weights), atol=1e-5)
+    assert not bool(b_cnt.overflow)
+    assert not bool(b_sort.overflow)
+
+
+def test_rect_cap_truncation_flags_overflow():
+    means, scales, quats, opac, colors = big_splat_scene()
+    cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
+                         fovx=math.pi / 3, fovy=math.pi / 3,
+                         width=128, height=128)
+    bg = jnp.zeros(3)
+    cfg = RasterConfig(max_instances=1 << 13, chunk=128, binner="counting",
+                       rect_cap=8)
+    b = rasterize(means, scales, quats, opac, cam, bg, colors=colors,
+                  cfg=cfg, interpret=True)
+    # the huge splats span >8 tiles -> truncation must be flagged
+    assert bool(b.overflow)
+
+
+def test_capacity_overflow_flags():
+    means, scales, quats, opac, colors = big_splat_scene(n_small=60)
+    cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
+                         fovx=math.pi / 3, fovy=math.pi / 3,
+                         width=128, height=128)
+    bg = jnp.zeros(3)
+    for binner in ("counting", "sort"):
+        cfg = RasterConfig(max_instances=128, chunk=128, binner=binner,
+                           rect_cap=64)
+        b = rasterize(means, scales, quats, opac, cam, bg, colors=colors,
+                      cfg=cfg, interpret=True)
+        assert bool(b.overflow), binner

@@ -44,3 +44,49 @@ def test_grid_matches_brute():
     vg = grid_tracer.trace_visibility_grid(geo, grid, ro + 0.05 * rd, rd,
                                            n_steps=4 * res)
     np.testing.assert_allclose(vg["visibility"], vb["visibility"], atol=1e-5)
+
+
+def test_cell_cap_auto_grow():
+    """build_grid_auto doubles the candidate cap until nothing overflows."""
+    geo = _scene(n=400)
+    res = grid_tracer.auto_res(geo)
+    small = grid_tracer.build_grid(geo, res=res, cell_cap=2,
+                                   max_cells_per_gauss=128)
+    assert bool(small.overflow)
+    grown = grid_tracer.build_grid_auto(geo, res=res, cell_cap=2,
+                                        max_cells_per_gauss=128)
+    assert not bool(grown.overflow)
+    assert grown.cell_cap > 2
+
+
+def test_full_bake_grid_matches_brute():
+    """bake_radiance with the grid tracer == brute force on the same scene
+    (radiance, visibility, first hits, uvs) — the VERDICT r1 #4 acceptance
+    for making the grid path the production default."""
+    from svgir_tpu.models.radiance import bake_radiance
+    from svgir_tpu.utils.transforms import normal_to_rotation
+
+    n, s = 200, 8
+    key = jax.random.PRNGKey(5)
+    dirs = normalize(jax.random.normal(key, (n, 3)))
+    means = dirs * 0.5
+    quats = normal_to_rotation(-dirs)
+    scales = jnp.full((n, 3), 0.08).at[:, 2].set(1e-9)
+    opac = jax.random.uniform(jax.random.PRNGKey(6), (n,), minval=0.3,
+                              maxval=0.9)
+    shs = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (n, 16, 3))
+
+    kw = dict(sample_num=s, key=jax.random.PRNGKey(8), k_hits=8,
+              ray_chunk=512)
+    brute = bake_radiance(means, scales, quats, opac, shs, use_grid=False,
+                          **kw)
+    grid = bake_radiance(means, scales, quats, opac, shs, use_grid=True,
+                         **kw)
+    np.testing.assert_array_equal(np.asarray(brute["hit_idx"]),
+                                  np.asarray(grid["hit_idx"]))
+    np.testing.assert_allclose(np.asarray(grid["radiance"]),
+                               np.asarray(brute["radiance"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grid["visibility"]),
+                               np.asarray(brute["visibility"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grid["uv"]),
+                               np.asarray(brute["uv"]), atol=1e-5)
