@@ -40,13 +40,10 @@ def build():
     # Instance buffers are static-shaped; every gather/scatter/zero-fill in
     # the step scales with this cap, so size it to the scene like the CUDA
     # reference sizes its dynamic buffers (measured ~345k instances here;
-    # 1<<19 leaves 1.5x headroom and is overflow-checked below).
-    # rect_cap must cover the scene's largest tile rect (169 tiles: random
-    # rotations make some surfels edge-on with huge EWA extents) or the
-    # binner truncates splats the CUDA reference would keep.
-    import os
-    rect_cap = int(os.environ.get("SVGIR_BENCH_RECT_CAP", "192"))
-    cfg = RasterConfig(max_instances=1 << 19, chunk=128, rect_cap=rect_cap)
+    # 1<<19 leaves 1.5x headroom and is overflow-checked below).  The v3
+    # counting binner duplicates unboundedly (exact CUDA semantics) — no
+    # per-splat tile cap to tune.
+    cfg = RasterConfig(max_instances=1 << 19, chunk=128)
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -97,6 +94,8 @@ def build():
 
 
 def main():
+    import os
+
     log("devices:", jax.devices())
     step, params = build()
 
@@ -126,12 +125,41 @@ def main():
     pix_s = RES * RES / med
     log(f"median fwd+bwd: {med*1e3:.2f} ms  ({pix_s/1e6:.2f} Mpix/s)")
 
-    print(json.dumps({
+    record = {
         "metric": "pixels/s/chip fwd+bwd 800x800 ~50k gaussians stage-1",
         "value": round(pix_s),
         "unit": "pixels/s/chip",
         "vs_baseline": round(pix_s / REF_PIX_S, 3),
-    }))
+    }
+
+    # stage-2 (render_relight) train step as extra keys on the same line
+    # (the driver consumes exactly one JSON line)
+    if not os.environ.get("SVGIR_BENCH_SKIP_STAGE2"):
+        try:
+            import bench_stage2
+            s2_step, s2_args = bench_stage2.build()
+            out = s2_step(*s2_args)
+            jax.block_until_ready(out[-1]["loss"])
+            for _ in range(2):
+                out = s2_step(*s2_args)
+            jax.block_until_ready(out[-1]["loss"])
+            times2 = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(batch):
+                    out = s2_step(*s2_args)
+                jax.block_until_ready(out[-1]["loss"])
+                times2.append((time.perf_counter() - t0) / batch)
+            times2.sort()
+            med2 = times2[len(times2) // 2]
+            record["stage2_pixels_s"] = round(RES * RES / med2)
+            record["stage2_ms_per_step"] = round(med2 * 1e3, 2)
+            log(f"stage-2 median step: {med2*1e3:.2f} ms "
+                f"({RES*RES/med2/1e6:.2f} Mpix/s)")
+        except Exception as exc:   # keep the headline line intact
+            log(f"stage-2 bench failed: {exc}")
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -139,9 +139,9 @@ class RasterConfig:
     max_instances: int = 1 << 21   # padded (tile,depth)-sorted instance buffer
     chunk: int = 128               # blend kernel: splats staged per inner step
     binner: str = "counting"       # "counting" (sort-free) or "sort"
-    rect_cap: int = 16             # counting binner: max tiles per gaussian
-                                   # (the reference prunes radii2D > 20 px,
-                                   #  i.e. rects <= 3x3 tiles, after iter 3k)
+    rect_cap: int = 16             # DEPRECATED/ignored: the v3 counting
+                                   # binner duplicates unboundedly (exact
+                                   # CUDA semantics); kept for API compat
 
 
 # ---------------------------------------------------------------------------

@@ -137,30 +137,32 @@ def pad_to_chunks(binned: BinnedInstances, *, chunk: int,
 def bin_instances_counting(prep: Preprocessed, *,
                            width: int, height: int,
                            cfg: RasterConfig = RasterConfig(),
-                           rect_cap: int = 16,
-                           gauss_chunk: int = 4096,
+                           rect_cap: int = 0,
+                           gauss_chunk: int = 256,
                            interpret: Optional[bool] = None
                            ) -> PaddedInstances:
-    """Sort-free binning: counting placement (TPU-native).
+    """Sort-free binning: counting placement (TPU-native), with EXACT CUDA
+    duplication semantics — no per-splat tile cap (``rect_cap`` is accepted
+    for API compatibility and ignored).
 
     The generic two-key ``lax.sort`` over the padded instance buffer
     dominates the frame (measured 619 ms of a 723 ms step at 800x800/50k on
     v5e).  This replaces it with closed-form placement:
 
       1. sort *gaussians* by depth (N-sized sort, cheap);
-      2. per-tile instance counts via a 2-D difference image of the tile
-         rects + two prefix sums (each rect is +1/-1 at its corners);
-      3. per-(gaussian, tile) depth rank via a chunked exclusive cumsum of
-         rect coverage indicators [chunk, T];
+      2. per-tile instance counts + per-chunk carry snapshots in one Pallas
+         pass over rect coverage [chunk, T];
+      3. a compact gaussian-major instance list (searchsorted over the
+         touched-count prefix sum — sized by ``max_instances``, NOT by
+         Ns x cap) with per-instance depth rank
+         ``carry[chunk(g), tile] + within_chunk_rank`` (second Pallas pass);
       4. each instance's output slot is ``chunk_aligned_start[tile] + rank``
          — all slots distinct, so the instance buffer is materialized by a
-         single unique-index scatter.
+         single unique-index scatter of max_instances entries.
 
     Produces the same (tile, depth)-ordered, chunk-aligned layout as
     ``bin_instances`` + ``pad_to_chunks`` (equal depths keep gaussian-index
-    order, matching cub's stable radix sort).  Gaussians touching more than
-    ``rect_cap`` tiles contribute only their first ``rect_cap`` instances
-    (CUDA is unbounded; radii that large are degenerate splats).
+    order, matching cub's stable radix sort).
     """
     tile = cfg.tile
     chunk = cfg.chunk
@@ -177,44 +179,61 @@ def bin_instances_counting(prep: Preprocessed, *,
     y0 = jnp.where(valid_s, prep.rect_min[order, 1], 0)
     x1 = jnp.where(valid_s, prep.rect_max[order, 0], 0)
     y1 = jnp.where(valid_s, prep.rect_max[order, 1], 0)
-    touched_raw = jnp.where(valid_s, (x1 - x0) * (y1 - y0), 0)
-    touched = jnp.minimum(touched_raw, rect_cap)
-    # a splat spanning more than rect_cap tiles keeps only its first
-    # rect_cap instances (row-major) — flag it so trainers can raise the cap
-    rect_overflow = jnp.any(touched_raw > rect_cap)
+    touched = jnp.where(valid_s, (x1 - x0) * (y1 - y0), 0)
 
-    # ---- Pallas two-pass binning: counts, then prefix ranks + slots ------
-    # 256: the slots kernel's Hillis-Steele prefix ladder keeps ~3 live
-    # [CH, T_pad] i32 copies; 512 exceeds the 16M scoped-vmem limit at
-    # T_pad 2560 (800x800)
-    gauss_chunk = 256
     npad = (-n) % gauss_chunk
     def pad(a):
         return jnp.concatenate([a, jnp.zeros((npad,), a.dtype)])
     x0p, y0p, x1p, y1p = pad(x0), pad(y0), pad(x1), pad(y1)
-    touched_p = pad(touched)
-    gid_p = pad(jnp.where(valid_s, order, -1).astype(jnp.int32))
 
-    from svgir_tpu.ops.binning_pallas import compute_slots
+    from svgir_tpu.ops.binning_pallas import (compute_counts,
+                                              compute_instances)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    pos, tile_start, padded_counts, total = compute_slots(
-        x0p, y0p, x1p, y1p, touched_p, grid_x=grid_x, grid_y=grid_y,
-        rect_cap=rect_cap, chunk=chunk, m=m, gauss_chunk=gauss_chunk,
-        interpret=interpret)
-    overflow = (total > m) | rect_overflow
-    total = jnp.minimum(total, m)
-    pos = jnp.minimum(pos, m)     # capacity overflow slots -> dropped
+    tile_start, padded_counts, total_padded, carry_tab = compute_counts(
+        x0p, y0p, x1p, y1p, grid_x=grid_x, grid_y=grid_y, chunk=chunk,
+        gauss_chunk=gauss_chunk, interpret=interpret)
+    t_pad = carry_tab.shape[1]
+
+    # ---- compact instance enumeration (gaussian-major) -------------------
+    # per-instance work happens inside compute_instances; here only the
+    # prefix sum, the per-BLOCK window starts (a tiny searchsorted), one
+    # fused carry+start gather, and the slot scatter remain
+    touched_p = pad(touched)
+    offsets = jnp.cumsum(touched_p) - touched_p          # exclusive [Ns_p]
+    total_raw = offsets[-1] + touched_p[-1]
+    overflow = (total_raw > m) | (total_padded > m)
+
+    inst_block = 1024
+    while m % inst_block:
+        inst_block //= 2
+    firsts = jnp.clip(jnp.searchsorted(
+        offsets, jnp.arange(0, m, inst_block, dtype=jnp.int32),
+        side="right") - 1, 0, offsets.shape[0] - 1)
+    wstart = ((firsts // gauss_chunk) * gauss_chunk).astype(jnp.int32)
+
+    order_p = pad(jnp.where(valid_s, order, -1).astype(jnp.int32))
+    tk, rank_within, g_row, gid = compute_instances(
+        x0p, y0p, x1p, y1p, offsets, order_p, wstart, m=m, grid_x=grid_x,
+        gauss_chunk=gauss_chunk, inst_block=inst_block, interpret=interpret)
+
+    # fold the chunk-aligned tile starts into the carry table -> one gather
+    start_row = jnp.zeros((t_pad,), jnp.int32).at[:num_tiles].set(
+        tile_start.astype(jnp.int32))
+    table = carry_tab + start_row[None, :]
+    tk_c = jnp.clip(tk, 0, num_tiles - 1)
+    slot = table.reshape(-1)[(g_row // gauss_chunk) * t_pad + tk_c] \
+        + rank_within
+    j = jnp.arange(m, dtype=jnp.int32)
+    slot = jnp.where(j < total_raw, slot, m)            # padding -> dropped
 
     out_gid = jnp.full((m,), -1, jnp.int32)
-    out_gid = out_gid.at[pos.reshape(-1)].set(
-        jnp.repeat(gid_p, rect_cap), mode="drop", unique_indices=True)
+    out_gid = out_gid.at[slot].set(gid, mode="drop", unique_indices=True)
     inst_valid = out_gid >= 0
 
     return PaddedInstances(
         gaussian_id=out_gid, inst_valid=inst_valid,
         tile_start=tile_start.astype(jnp.int32),
         tile_count=padded_counts.astype(jnp.int32),
-        num_instances=total, overflow=overflow,
-        order=order.astype(jnp.int32), gauss_pos=pos,
-        gauss_nslots=touched_p)
+        num_instances=jnp.minimum(total_padded, m), overflow=overflow,
+        order=order.astype(jnp.int32))

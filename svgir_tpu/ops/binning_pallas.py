@@ -1,19 +1,22 @@
-"""Pallas binning kernels: per-tile counts + depth-rank slot assignment.
+"""Pallas binning kernels: per-tile counts, carry tables, instance ranks.
 
-The XLA ``lax.scan`` formulation of the counting binner spends ~50 ms/step
-in HBM round-trips between scan iterations (coverage build, prefix matmul,
-rank gather each materialize [chunk, T] arrays).  These kernels keep the
-whole pipeline VMEM-resident:
+Sort-free binning with EXACT CUDA-duplication semantics (no per-splat tile
+cap — rasterizer_impl.cu:70-111 duplicates unboundedly).  Two kernels over
+depth-sorted gaussians:
 
-  pass 1 (counts):  carry[T] += column-sums of rect coverage per chunk;
-  pass 2 (slots):   exclusive prefix ranks via a strictly-lower-triangular
-                    f32 MXU matmul (exact: 0/1 operands, f32 accumulation),
-                    then per-rect-slot extraction of
-                    ``tile_start[t] + rank[g, t]`` with one-hot masked row
-                    sums (no in-kernel gather needed).
+  counts:  carry[T] += column-sums of rect coverage per chunk; also emits
+           the per-chunk carry SNAPSHOTS [nchunks, T] — the cross-chunk
+           part of any instance's depth rank — so slot assignment needs no
+           per-(gaussian, k) extraction pass at all;
+  ranks:   for a compact gaussian-major instance list (built outside via a
+           searchsorted expansion bounded by max_instances, never by
+           Ns x rect_cap), the within-chunk rank of each instance: a
+           [window, block] rect-coverage count against the instance's own
+           gauss_chunk.
 
-Gaussians arrive depth-sorted; both kernels walk chunks sequentially so the
-VMEM carry implements the global prefix.
+slot = chunk_aligned_tile_start[t] + carry_table[chunk(g), t] + rank; all
+slots are distinct, so the instance buffer materializes with one
+unique-index scatter of exactly max_instances entries.
 """
 
 from __future__ import annotations
@@ -38,13 +41,20 @@ def _cov(slabx0, slaby0, slabx1, slaby1, grid_x, grid_y, num_tiles_pad):
     return cov
 
 
-def _counts_kernel(x0_ref, y0_ref, x1_ref, y1_ref, counts_ref, carry,
-                   *, grid_x, grid_y, num_tiles_pad):
+def _counts_kernel(x0_ref, y0_ref, x1_ref, y1_ref, counts_ref, carrytab_ref,
+                   carry, *, grid_x, grid_y, num_tiles_pad):
+    """Per-tile instance counts + per-chunk carry snapshots.
+
+    ``carrytab[c, t]`` = number of instances tile t receives from chunks
+    before c — the cross-chunk part of every chunk-c instance's depth rank.
+    """
     c = pl.program_id(0)
 
     @pl.when(c == 0)
     def _():
         carry[:, :] = jnp.zeros_like(carry)
+
+    carrytab_ref[0, :, :] = carry[:, :]          # snapshot BEFORE this chunk
 
     cov = _cov(x0_ref[0, 0][:, None], y0_ref[0, 0][:, None],
                x1_ref[0, 0][:, None], y1_ref[0, 0][:, None],
@@ -56,68 +66,12 @@ def _counts_kernel(x0_ref, y0_ref, x1_ref, y1_ref, counts_ref, carry,
         counts_ref[:, :] = carry[:, :]
 
 
-def _slots_kernel(x0_ref, y0_ref, x1_ref, y1_ref, nslots_ref, start_ref,
-                  pos_ref, carry, *, grid_x, grid_y, num_tiles_pad, rect_cap,
-                  m):
-    c = pl.program_id(0)
-
-    @pl.when(c == 0)
-    def _():
-        carry[:, :] = jnp.zeros_like(carry)
-
-    ch = x0_ref.shape[2]
-    x0 = x0_ref[0, 0][:, None]
-    y0 = y0_ref[0, 0][:, None]
-    x1 = x1_ref[0, 0][:, None]
-    y1 = y1_ref[0, 0][:, None]
-    cov = _cov(x0, y0, x1, y1, grid_x, grid_y, num_tiles_pad)
-    # exclusive prefix of coverage down the chunk: a log-depth integer
-    # prefix sum via sublane shifts on the VPU (the [CH, CH] triangular f32
-    # matmul costs ~4 ms of MXU time at bench shapes; Mosaic has no cumsum
-    # primitive, so build the Hillis-Steele ladder from pad-shifts)
-    covi = cov.astype(jnp.int32)
-    incl = covi
-    d = 1
-    while d < ch:
-        zeros = jnp.zeros((d, num_tiles_pad), jnp.int32)
-        incl = incl + jnp.concatenate([zeros, incl[:ch - d]], axis=0)
-        d *= 2
-    excl = incl - covi
-    excl = excl + carry[:, :]            # broadcast [1, T] over rows
-
-    # value to extract per rect slot: global slot index
-    val = excl + start_ref[:, :]         # [CH, T] + [1, T]
-
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (ch, num_tiles_pad), 1)
-    w_r = jnp.maximum(x1 - x0, 1)
-    nsl = nslots_ref[0, 0][:, None]
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (ch, rect_cap), 1)
-
-    def body(k, acc):
-        tk = (y0 + k // w_r) * grid_x + (x0 + k % w_r)      # [CH, 1]
-        sel = (t_iota == tk) & (k < nsl)
-        pos_k = jnp.sum(jnp.where(sel, val, 0), axis=1)     # [CH]
-        pos_k = jnp.where(nsl[:, 0] > k, pos_k, m)
-        return jnp.where(k_iota == k, pos_k[:, None], acc)
-
-    # dynamic trip count: slots beyond the chunk's max rect size are all
-    # masked to m by the init value, so bounding the loop by max(nsl) is
-    # exact and skips most of the 16 one-hot passes for small-splat chunks
-    max_nsl = jnp.minimum(jnp.max(nslots_ref[0, 0]), rect_cap)
-    pos_ref[0, 0] = jax.lax.fori_loop(
-        0, max_nsl, body, jnp.full((ch, rect_cap), m, jnp.int32),
-        unroll=False)
-
-    carry[:, :] += jnp.sum(cov.astype(jnp.int32), axis=0, keepdims=True)
-
-
-@functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "rect_cap",
-                                             "chunk", "m", "gauss_chunk",
-                                             "interpret"))
-def compute_slots(x0, y0, x1, y1, nslots, *, grid_x, grid_y, rect_cap,
-                  chunk, m, gauss_chunk=512, interpret=False):
-    """Depth-ordered rect columns [Ns] -> (pos [Ns, rect_cap],
-    tile_start [T], padded_counts [T], total)."""
+@functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "chunk",
+                                             "gauss_chunk", "interpret"))
+def compute_counts(x0, y0, x1, y1, *, grid_x, grid_y, chunk,
+                   gauss_chunk=256, interpret=False):
+    """Depth-ordered rect columns [Ns] -> (tile_start [T] chunk-aligned,
+    padded_counts [T], total padded, carry_table [nchunks, T_pad])."""
     ns = x0.shape[0]
     assert ns % gauss_chunk == 0
     nchunks = ns // gauss_chunk
@@ -130,39 +84,140 @@ def compute_slots(x0, y0, x1, y1, nslots, *, grid_x, grid_y, rect_cap,
 
     shape2 = lambda a: a.reshape(nchunks, 1, gauss_chunk)
 
-    counts = pl.pallas_call(
+    counts, carry_tab = pl.pallas_call(
         functools.partial(_counts_kernel, grid_x=grid_x, grid_y=grid_y,
                           num_tiles_pad=t_pad),
         grid=(nchunks,),
         in_specs=[blk(0)] * 4,
-        out_specs=pl.BlockSpec((1, t_pad), lambda c: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
+        out_specs=[
+            pl.BlockSpec((1, t_pad), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
+            jax.ShapeDtypeStruct((nchunks, 1, t_pad), jnp.int32),
+        ),
         scratch_shapes=[pltpu.VMEM((1, t_pad), jnp.int32)],
         interpret=interpret,
-    )(shape2(x0), shape2(y0), shape2(x1), shape2(y1))[0, :num_tiles]
+    )(shape2(x0), shape2(y0), shape2(x1), shape2(y1))
 
+    counts = counts[0, :num_tiles]
     padded_counts = ((counts + chunk - 1) // chunk) * chunk
     tile_start = jnp.cumsum(padded_counts) - padded_counts
     total = tile_start[-1] + padded_counts[-1]
-    start_pad = jnp.zeros((1, t_pad), jnp.int32).at[0, :num_tiles].set(
-        tile_start)
+    return tile_start, padded_counts, total, carry_tab.reshape(nchunks, t_pad)
 
-    pos = pl.pallas_call(
-        functools.partial(_slots_kernel, grid_x=grid_x, grid_y=grid_y,
-                          num_tiles_pad=t_pad, rect_cap=rect_cap, m=m),
-        grid=(nchunks,),
-        in_specs=[blk(0)] * 5 + [
-            pl.BlockSpec((1, t_pad), lambda c: (0, 0),
-                         memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, gauss_chunk, rect_cap),
-                               lambda c: (c, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nchunks, 1, gauss_chunk, rect_cap),
-                                       jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, t_pad), jnp.int32)],
+
+def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh,
+                 tk_ref, rank_ref, grow_ref, gid_ref,
+                 x0w, y0w, x1w, y1w, offw, ordw, sems,
+                 *, wg, gauss_chunk, grid_x, inst_block):
+    """Per-instance expansion + within-chunk depth rank, all in-VMEM.
+
+    Block of IB instances on sublanes; a [1, WG] window of depth-sorted
+    rects / offsets / original ids on lanes, DMA'd at the block's
+    chunk-aligned window start (a multiple of gauss_chunk -> 128-aligned
+    lane offset).  Per instance j (gaussian-major enumeration):
+      g      = searchsorted(offsets, j, right) - 1  (window-local count —
+               XLA's own searchsorted lowers to a 16-round while loop of
+               [M] gathers, ~60 ms/step at bench shapes)
+      k      = j - offsets[g];  tile = rect cell k in y-outer order
+      rank   = #{g' in g's gauss_chunk, g' < g, rect covers tile}
+    Emits tk, rank, g_row and the original gaussian id per instance.
+    """
+    b = pl.program_id(0)
+    ws = pl.multiple_of(wstart_ref[b], gauss_chunk)
+
+    copies = []
+    for i, (src, dst) in enumerate(((x0h, x0w), (y0h, y0w), (x1h, x1w),
+                                    (y1h, y1w), (offh, offw), (ordh, ordw))):
+        cp = pltpu.make_async_copy(src.at[:, pl.ds(ws, wg)], dst, sems.at[i])
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+    ib = inst_block
+    j = (jax.lax.broadcasted_iota(jnp.int32, (ib, 1), 0)
+         + b * inst_block)                             # [IB, 1]
+    w_io = jax.lax.broadcasted_iota(jnp.int32, (ib, wg), 1)
+
+    x0v, y0v = x0w[:, :], y0w[:, :]                    # [1, WG] rows
+    x1v, y1v = x1w[:, :], y1w[:, :]
+    offv, ordv = offw[:, :], ordw[:, :]
+
+    # window-local searchsorted: all gaussians before the window have
+    # offsets <= j for every instance in this block
+    cnt = jnp.sum((offv <= j).astype(jnp.int32), axis=1, keepdims=True)
+    gl = cnt - 1                                       # [IB, 1] local row
+
+    sel = (w_io == gl).astype(jnp.int32)
+
+    def pick(v):
+        return jnp.sum(sel * v, axis=1, keepdims=True)  # [IB, 1]
+
+    x0i, y0i, x1i = pick(x0v), pick(y0v), pick(x1v)
+    offi, gidi = pick(offv), pick(ordv)
+
+    k = j - offi
+    w_r = jnp.maximum(x1i - x0i, 1)
+    # duplicateWithKeys order (y outer, x inner); f32 trick for the integer
+    # div (k, w_r < 2^23: exact, and the +0.5 margin dominates f32 rounding)
+    qy = jnp.floor((k.astype(jnp.float32) + 0.5)
+                   / w_r.astype(jnp.float32)).astype(jnp.int32)
+    tx = x0i + k - qy * w_r
+    ty = y0i + qy
+
+    cover = ((x0v <= tx) & (tx < x1v) & (y0v <= ty) & (ty < y1v))
+    gate = (w_io < gl) & (w_io // gauss_chunk == gl // gauss_chunk)
+    rank = jnp.sum((cover & gate).astype(jnp.int32), axis=1, keepdims=True)
+
+    tk_ref[0] = ty * grid_x + tx
+    rank_ref[0] = rank
+    grow_ref[0] = gl + ws
+    gid_ref[0] = gidi
+
+
+@functools.partial(jax.jit, static_argnames=("m", "grid_x", "gauss_chunk",
+                                             "inst_block", "interpret"))
+def compute_instances(x0, y0, x1, y1, offsets, order, wstart, *, m,
+                      grid_x, gauss_chunk=256, inst_block=1024,
+                      interpret=False):
+    """Compact instance expansion (see _inst_kernel).
+
+    x0..y1/order: depth-sorted rects + original ids [Ns]; offsets:
+    exclusive prefix sum of touched counts [Ns]; wstart [nblocks]: each
+    block's chunk-aligned window start.  Returns per-instance
+    (tk, rank_within, g_row, gid) each [m].
+    """
+    nblocks = m // inst_block
+    wg = inst_block + gauss_chunk
+
+    def lanes(a, fill=0):
+        return jnp.pad(a.astype(jnp.int32), (0, wg),
+                       constant_values=fill)[None, :]
+
+    out_spec = pl.BlockSpec((1, inst_block, 1), lambda b, *_: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=[out_spec] * 4,
+        scratch_shapes=[pltpu.VMEM((1, wg), jnp.int32)] * 6 + [
+            pltpu.SemaphoreType.DMA((6,))],
+    )
+    shape = jax.ShapeDtypeStruct((nblocks, inst_block, 1), jnp.int32)
+    tk, rank, g_row, gid = pl.pallas_call(
+        functools.partial(_inst_kernel, wg=wg, gauss_chunk=gauss_chunk,
+                          grid_x=grid_x, inst_block=inst_block),
+        grid_spec=grid_spec,
+        out_shape=(shape,) * 4,
         interpret=interpret,
-    )(shape2(x0), shape2(y0), shape2(x1), shape2(y1), shape2(nslots),
-      start_pad)
-
-    return pos.reshape(ns, rect_cap), tile_start, padded_counts, total
+    )(wstart, lanes(x0), lanes(y0), lanes(x1), lanes(y1),
+      # padding gaussians must never be counted by the searchsorted pass
+      lanes(offsets, fill=2**31 - 1), lanes(order))
+    return (tk.reshape(m), rank.reshape(m), g_row.reshape(m),
+            gid.reshape(m))

@@ -100,28 +100,24 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         return out.at[_safe_idx(gid)].add(x_inst)
 
     @jax.custom_vjp
-    def blend(slab_rows, gid, inst_valid, tile_start, tile_count, order,
-              gauss_pos, gauss_nslots):
+    def blend(slab_rows, gid, tile_start, tile_count):
         slab = _instance_slab(slab_rows, gid)
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
         weights = _scatter_reduce_ext(wsum[0], gid)[:n]
         return out, weights
 
-    def blend_fwd(slab_rows, gid, inst_valid, tile_start, tile_count, order,
-                  gauss_pos, gauss_nslots):
+    def blend_fwd(slab_rows, gid, tile_start, tile_count):
         slab = _instance_slab(slab_rows, gid)
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
         weights = _scatter_reduce_ext(wsum[0], gid)[:n]
         meta = out[..., ca + cv:ca + cv + 3]
-        res = (slab_rows, gid, inst_valid, tile_start, tile_count, order,
-               gauss_pos, gauss_nslots, meta)
+        res = (slab_rows, gid, tile_start, tile_count, meta)
         return (out, weights), res
 
     def blend_bwd(res, cotangents):
-        (slab_rows, gid, inst_valid, tile_start, tile_count, order,
-         gauss_pos, gauss_nslots, logt) = res
+        (slab_rows, gid, tile_start, tile_count, logt) = res
         g_out, g_weights = cotangents
         slab = _instance_slab(slab_rows, gid)
         if wgrad:
@@ -135,7 +131,7 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         # padding-slot gradients land in the sacrificial row n; the caller's
         # row-pad VJP slices it off, so no masking pass is needed
         d_rows = _scatter_reduce_ext(d_inst, gid)
-        return (d_rows, None, None, None, None, None, None, None)
+        return (d_rows, None, None, None)
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend
@@ -268,9 +264,7 @@ def rasterize(
                                    cfg.chunk, n, cfg.max_instances,
                                    cfg.rect_cap, interpret, weights_grad)
         out, weights = blend(slab_ext, padded.gaussian_id,
-                             padded.inst_valid, padded.tile_start,
-                             padded.tile_count, padded.order,
-                             padded.gauss_pos, padded.gauss_nslots)
+                             padded.tile_start, padded.tile_count)
     else:
         gid = jnp.clip(padded.gaussian_id, 0, n - 1)
         slab = jnp.where(padded.inst_valid[:, None], slab_g[gid], 0.0)

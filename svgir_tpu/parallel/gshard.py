@@ -122,10 +122,8 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
                                    interpret)
         # sacrificial zero row for padding slots (see _make_blend_gather)
         slab_ext = jnp.pad(slab, ((0, 1), (0, 0)))
-        out, weights = blend(slab_ext, padded.gaussian_id, padded.inst_valid,
-                             padded.tile_start, padded.tile_count,
-                             padded.order, padded.gauss_pos,
-                             padded.gauss_nslots)
+        out, weights = blend(slab_ext, padded.gaussian_id,
+                             padded.tile_start, padded.tile_count)
         # per-gaussian weight sums span all devices' tiles
         weights = jax.lax.psum(weights, axis)
         radii = jax.lax.all_gather(prep.radius, axis, tiled=True)

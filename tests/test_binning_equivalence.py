@@ -62,18 +62,26 @@ def test_counting_matches_sort_with_sufficient_rect_cap():
     assert not bool(b_sort.overflow)
 
 
-def test_rect_cap_truncation_flags_overflow():
+def test_counting_exact_regardless_of_rect_cap():
+    """The v3 counting binner has NO per-splat tile cap (exact CUDA
+    duplication semantics): rect_cap is accepted for API compatibility but
+    ignored, so even a tiny value changes nothing."""
     means, scales, quats, opac, colors = big_splat_scene()
     cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
                          fovx=math.pi / 3, fovy=math.pi / 3,
                          width=128, height=128)
     bg = jnp.zeros(3)
-    cfg = RasterConfig(max_instances=1 << 13, chunk=128, binner="counting",
-                       rect_cap=8)
+    base = RasterConfig(max_instances=1 << 13, chunk=128)
+    b_sort = rasterize(means, scales, quats, opac, cam, bg, colors=colors,
+                       cfg=dataclasses.replace(base, binner="sort"),
+                       interpret=True)
     b = rasterize(means, scales, quats, opac, cam, bg, colors=colors,
-                  cfg=cfg, interpret=True)
-    # the huge splats span >8 tiles -> truncation must be flagged
-    assert bool(b.overflow)
+                  cfg=dataclasses.replace(base, binner="counting",
+                                          rect_cap=8),
+                  interpret=True)
+    np.testing.assert_allclose(np.asarray(b.color), np.asarray(b_sort.color),
+                               atol=1e-6)
+    assert not bool(b.overflow)
 
 
 def test_capacity_overflow_flags():
