@@ -45,6 +45,66 @@ def test_gshard_matches_single_device():
 
 
 @needs_8
+def test_gshard_exchange_matches_single_device():
+    """Budgeted all-to-all exchange (instead of the O(N) slab all-gather):
+    same image, weights routed back to their owner shards."""
+    sc = sphere_scene(jax.random.PRNGKey(0), n=128, s_feat=2, vs_feat=8)
+    cam = default_camera(64, 64)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    mesh = make_mesh(8, axis="gauss")
+
+    single = rasterize(sc["means"], sc["scales"], sc["quats"], sc["opacity"],
+                       cam, bg, colors=sc["colors"], features=sc["features"],
+                       vfeatures=sc["vfeatures"], cfg=CFG, interpret=True)
+    shard = rasterize_sharded(mesh, "gauss", sc["means"], sc["scales"],
+                              sc["quats"], sc["opacity"], cam, bg,
+                              colors=sc["colors"], features=sc["features"],
+                              vfeatures=sc["vfeatures"], cfg=CFG,
+                              exchange_cap=16, interpret=True)
+    np.testing.assert_allclose(shard.color, single.color, atol=1e-4)
+    np.testing.assert_allclose(shard.feature, single.feature, atol=1e-4)
+    np.testing.assert_allclose(shard.vfeature, single.vfeature, atol=1e-4)
+    np.testing.assert_allclose(shard.depth, single.depth, atol=1e-3)
+    np.testing.assert_allclose(shard.weights, single.weights, atol=1e-4)
+    assert not bool(shard.overflow)
+
+    # an undersized budget must flag, not crash
+    tiny = rasterize_sharded(mesh, "gauss", sc["means"], sc["scales"],
+                             sc["quats"], sc["opacity"], cam, bg,
+                             colors=sc["colors"], features=sc["features"],
+                             vfeatures=sc["vfeatures"], cfg=CFG,
+                             exchange_cap=2, interpret=True)
+    assert bool(tiny.overflow)
+
+
+@needs_8
+def test_gshard_exchange_gradients():
+    sc = sphere_scene(jax.random.PRNGKey(1), n=64)
+    cam = default_camera(32, 32)
+    bg = jnp.zeros(3)
+    mesh = make_mesh(8, axis="gauss")
+
+    def loss_sharded(means):
+        b = rasterize_sharded(mesh, "gauss", means, sc["scales"],
+                              sc["quats"], sc["opacity"], cam, bg,
+                              colors=sc["colors"], cfg=CFG, exchange_cap=8,
+                              interpret=True)
+        return jnp.square(b.color).sum()
+
+    def loss_single(means):
+        b = rasterize(means, sc["scales"], sc["quats"], sc["opacity"], cam,
+                      bg, colors=sc["colors"], cfg=CFG, interpret=True)
+        return jnp.square(b.color).sum()
+
+    with jax.set_mesh(mesh):
+        gs = jax.jit(jax.grad(loss_sharded))(sc["means"])
+    g1 = jax.grad(loss_single)(sc["means"])
+    scale = np.abs(np.asarray(g1)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(gs) / scale,
+                               np.asarray(g1) / scale, atol=5e-4)
+
+
+@needs_8
 def test_gshard_gradients():
     sc = sphere_scene(jax.random.PRNGKey(1), n=64)
     cam = default_camera(32, 32)
