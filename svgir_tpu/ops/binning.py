@@ -204,7 +204,9 @@ def bin_instances_counting(prep: Preprocessed, *,
     total_raw = offsets[-1] + touched_p[-1]
     overflow = (total_raw > m) | (total_padded > m)
 
-    inst_block = 1024
+    # 512: the rank kernel's pair-test cost is blocks x IB x window =
+    # m x (IB + gauss_chunk); a smaller block shrinks the window term
+    inst_block = 512
     while m % inst_block:
         inst_block //= 2
     firsts = jnp.clip(jnp.searchsorted(

@@ -129,8 +129,14 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         d_inst = blend_pallas.blend_backward(
             slab, tile_start, tile_count, g_out, logt, g_wsum, **kw)
         # padding-slot gradients land in the sacrificial row n; the caller's
-        # row-pad VJP slices it off, so no masking pass is needed
-        d_rows = _scatter_reduce_ext(d_inst, gid)
+        # row-pad VJP slices it off, so no masking pass is needed.  Only the
+        # first kr_real columns carry gradients — scatter those and re-pad
+        # (the [M, 128] scatter-add is the single most expensive op of the
+        # step; the tail columns are structural zeros).
+        kr_real = 12 + ca + 4 * cv
+        w = min(d_inst.shape[1], -(-kr_real // 32) * 32)
+        d_rows_w = _scatter_reduce_ext(d_inst[:, :w], gid)
+        d_rows = jnp.pad(d_rows_w, ((0, 0), (0, d_inst.shape[1] - w)))
         return (d_rows, None, None, None)
 
     blend.defvjp(blend_fwd, blend_bwd)
