@@ -43,13 +43,22 @@ def main(argv=None):
     bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
     out_dir = os.path.join(model_cfg.model_path or ".", "eval")
 
+    import jax
+
     if args.type == "render":
         from svgir_tpu.render.stage1 import render_stage1
 
+        # one jitted render shared across views (strip_meta collapses the
+        # per-camera static metadata to a single jit cache entry); eager
+        # per-frame dispatch otherwise pays full retrace cost on TPU
+        @jax.jit
+        def _render(params, alive, cam):
+            return render_stage1(cam, params, bg, opt=OptimizationConfig(),
+                                 is_training=False, alive=alive,
+                                 cfg=raster_cfg)
+
         def render_one(cam):
-            return render_stage1(strip_meta(cam), params, bg,
-                                 opt=OptimizationConfig(), is_training=False,
-                                 alive=alive, cfg=raster_cfg)
+            return _render(params, alive, strip_meta(cam))
     else:
         from svgir_tpu.models import radiance as RAD
         from svgir_tpu.render.svgss import render_svgss
@@ -63,11 +72,16 @@ def main(argv=None):
             bake = {k: v for k, v in bake.items() if k != "exhausted_frac"}
         env = tree["env"]
 
-        def render_one(cam):
-            return render_svgss(strip_meta(cam), params, bg, bake=bake,
-                                env_params=env["params"],
+        @jax.jit
+        def _render(params, alive, bake, env_params, cam):
+            return render_svgss(cam, params, bg, bake=bake,
+                                env_params=env_params,
                                 opt=OptimizationConfig(), is_training=False,
                                 alive=alive, cfg=raster_cfg)
+
+        def render_one(cam):
+            return _render(params, alive, bake, env["params"],
+                           strip_meta(cam))
 
     results = {}
     if not args.skip_train and scene.train_cameras:

@@ -57,12 +57,19 @@ def build_render_fn(checkpoint, mode, sample_num, max_instances):
     bg = jnp.zeros(3)
     opt = OptimizationConfig()
 
+    import jax
+
     if mode == "render" or "base_color" not in params:
         from svgir_tpu.render.stage1 import render_stage1
 
-        def render_one(cam):
-            return render_stage1(strip_meta(cam), params, bg, opt=opt,
+        # jitted once; orbit-camera frames share the cache entry
+        @jax.jit
+        def _render(params, alive, cam):
+            return render_stage1(cam, params, bg, opt=opt,
                                  is_training=False, alive=alive, cfg=cfg)
+
+        def render_one(cam):
+            return _render(params, alive, strip_meta(cam))
     else:
         from svgir_tpu.models import radiance as RAD
         from svgir_tpu.render.svgss import render_svgss
@@ -73,13 +80,18 @@ def build_render_fn(checkpoint, mode, sample_num, max_instances):
         bake = {k: v for k, v in bake.items() if k != "exhausted_frac"}
         env = tree.get("env")
 
-        def render_one(cam):
-            return render_svgss(strip_meta(cam), params, bg, bake=bake,
-                                env_params=env["params"] if env else None,
+        @jax.jit
+        def _render(params, alive, bake, env_params, cam):
+            return render_svgss(cam, params, bg, bake=bake,
+                                env_params=env_params,
                                 env_fn=None if env else
                                 (lambda d: jnp.ones(d.shape)),
                                 opt=opt, is_training=False, alive=alive,
                                 cfg=cfg)
+
+        def render_one(cam):
+            return _render(params, alive, bake,
+                           env["params"] if env else None, strip_meta(cam))
     return render_one
 
 

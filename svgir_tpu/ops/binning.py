@@ -50,11 +50,8 @@ class PaddedInstances(NamedTuple):
     tile_count: jax.Array    # [T] int32 — padded counts (multiples of chunk)
     num_instances: jax.Array  # [] int32 — total padded count
     overflow: jax.Array      # [] bool
-    # counting-binner extras (None from the sort path): enable gather-based
-    # per-gaussian reductions in the blend backward (no scatter-add)
+    # counting-binner extra (None from the sort path)
     order: Optional[jax.Array] = None      # [N] depth-sorted gaussian ids
-    gauss_pos: Optional[jax.Array] = None  # [Ns, RC] slots per SORTED gaussian
-    gauss_nslots: Optional[jax.Array] = None  # [Ns] valid slots per row
 
 
 def bin_instances(prep: Preprocessed, *, width: int, height: int,
@@ -215,17 +212,16 @@ def bin_instances_counting(prep: Preprocessed, *,
     wstart = ((firsts // gauss_chunk) * gauss_chunk).astype(jnp.int32)
 
     order_p = pad(jnp.where(valid_s, order, -1).astype(jnp.int32))
-    tk, rank_within, g_row, gid = compute_instances(
-        x0p, y0p, x1p, y1p, offsets, order_p, wstart, m=m, grid_x=grid_x,
-        gauss_chunk=gauss_chunk, inst_block=inst_block, interpret=interpret)
-
-    # fold the chunk-aligned tile starts into the carry table -> one gather
+    # fold the chunk-aligned tile starts into the carry table; the kernel
+    # looks its block's row up in-VMEM (XLA per-instance gathers run
+    # ~0.6 GB/s here)
     start_row = jnp.zeros((t_pad,), jnp.int32).at[:num_tiles].set(
         tile_start.astype(jnp.int32))
     table = carry_tab + start_row[None, :]
-    tk_c = jnp.clip(tk, 0, num_tiles - 1)
-    slot = table.reshape(-1)[(g_row // gauss_chunk) * t_pad + tk_c] \
-        + rank_within
+    slot, gid, _ = compute_instances(
+        x0p, y0p, x1p, y1p, offsets, order_p, wstart, table, m=m,
+        grid_x=grid_x, gauss_chunk=gauss_chunk, inst_block=inst_block,
+        interpret=interpret)
     j = jnp.arange(m, dtype=jnp.int32)
     slot = jnp.where(j < total_raw, slot, m)            # padding -> dropped
 

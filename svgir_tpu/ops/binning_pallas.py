@@ -110,11 +110,11 @@ def compute_counts(x0, y0, x1, y1, *, grid_x, grid_y, chunk,
     return tile_start, padded_counts, total, carry_tab.reshape(nchunks, t_pad)
 
 
-def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh,
-                 tk_ref, rank_ref, grow_ref, gid_ref,
-                 x0w, y0w, x1w, y1w, offw, ordw, sems,
-                 *, wg, gauss_chunk, grid_x, inst_block):
-    """Per-instance expansion + within-chunk depth rank, all in-VMEM.
+def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh, tabh,
+                 slot_ref, gid_ref, grow_ref,
+                 x0w, y0w, x1w, y1w, offw, ordw, tabw, sems,
+                 *, wg, gauss_chunk, grid_x, inst_block, t_pad):
+    """Per-instance expansion + depth-rank slot assignment, all in-VMEM.
 
     Block of IB instances on sublanes; a [1, WG] window of depth-sorted
     rects / offsets / original ids on lanes, DMA'd at the block's
@@ -124,11 +124,19 @@ def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh,
                XLA's own searchsorted lowers to a 16-round while loop of
                [M] gathers, ~60 ms/step at bench shapes)
       k      = j - offsets[g];  tile = rect cell k in y-outer order
-      rank   = #{g' in g's gauss_chunk, g' < g, rect covers tile}
-    Emits tk, rank, g_row and the original gaussian id per instance.
+      rank   = table[chunk(ws), tile]   (instances from chunks before the
+               window — looked up via a one-hot mat-vec against the ONE
+               table row this block needs)
+             + #{g' in [ws, g), rect covers tile}   (window pair test)
+      slot   = rank  (the table row already folds in the chunk-aligned
+               tile starts)
+    Emits slot and the original gaussian id per instance — no per-instance
+    XLA gathers remain (they run ~0.6 GB/s on TPU).
     """
     b = pl.program_id(0)
     ws = pl.multiple_of(wstart_ref[b], gauss_chunk)
+    chunk_ws = ws // gauss_chunk
+    rbase = (chunk_ws // 8) * 8
 
     copies = []
     for i, (src, dst) in enumerate(((x0h, x0w), (y0h, y0w), (x1h, x1w),
@@ -136,8 +144,12 @@ def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh,
         cp = pltpu.make_async_copy(src.at[:, pl.ds(ws, wg)], dst, sems.at[i])
         cp.start()
         copies.append(cp)
+    tcp = pltpu.make_async_copy(
+        tabh.at[pl.ds(pl.multiple_of(rbase, 8), 8), :], tabw, sems.at[6])
+    tcp.start()
     for cp in copies:
         cp.wait()
+    tcp.wait()
 
     ib = inst_block
     j = (jax.lax.broadcasted_iota(jnp.int32, (ib, 1), 0)
@@ -169,55 +181,75 @@ def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh,
                    / w_r.astype(jnp.float32)).astype(jnp.int32)
     tx = x0i + k - qy * w_r
     ty = y0i + qy
+    tk = ty * grid_x + tx                              # [IB, 1]
 
     cover = ((x0v <= tx) & (tx < x1v) & (y0v <= ty) & (ty < y1v))
-    gate = (w_io < gl) & (w_io // gauss_chunk == gl // gauss_chunk)
+    gate = w_io < gl
     rank = jnp.sum((cover & gate).astype(jnp.int32), axis=1, keepdims=True)
 
-    tk_ref[0] = ty * grid_x + tx
-    rank_ref[0] = rank
-    grow_ref[0] = gl + ws
+    # table row chunk_ws (one per block): one-hot row select over the 8
+    # aligned rows, then a per-instance one-hot mat-vec over tiles
+    r_io = jax.lax.broadcasted_iota(jnp.int32, (8, t_pad), 0) + rbase
+    trow = jnp.sum(jnp.where(r_io == chunk_ws, tabw[:, :], 0.0),
+                   axis=0, keepdims=True)              # [1, t_pad] f32
+    t_io = jax.lax.broadcasted_iota(jnp.int32, (ib, t_pad), 1)
+    sel_t = (t_io == tk).astype(jnp.float32)           # [IB, t_pad]
+    base = jax.lax.dot_general(
+        sel_t, trow.T, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)           # [IB, 1] exact
+    slot_ref[0] = base.astype(jnp.int32) + rank
     gid_ref[0] = gidi
+    grow_ref[0] = gl + ws
 
 
 @functools.partial(jax.jit, static_argnames=("m", "grid_x", "gauss_chunk",
                                              "inst_block", "interpret"))
-def compute_instances(x0, y0, x1, y1, offsets, order, wstart, *, m,
+def compute_instances(x0, y0, x1, y1, offsets, order, wstart, table, *, m,
                       grid_x, gauss_chunk=256, inst_block=1024,
                       interpret=False):
     """Compact instance expansion (see _inst_kernel).
 
     x0..y1/order: depth-sorted rects + original ids [Ns]; offsets:
     exclusive prefix sum of touched counts [Ns]; wstart [nblocks]: each
-    block's chunk-aligned window start.  Returns per-instance
-    (tk, rank_within, g_row, gid) each [m].
+    block's chunk-aligned window start; table [nchunks, T_pad]: per-chunk
+    carry snapshots with the chunk-aligned tile starts folded in.
+    Returns per-instance (slot, gid, g_row) each [m] — g_row is the SORTED
+    gaussian row, monotone over the gaussian-major enumeration, so callers
+    can run sorted segment reductions over instance data.
     """
     nblocks = m // inst_block
     wg = inst_block + gauss_chunk
+    t_pad = table.shape[1]
 
     def lanes(a, fill=0):
         return jnp.pad(a.astype(jnp.int32), (0, wg),
                        constant_values=fill)[None, :]
+
+    # pad table rows so any 8-aligned window fits; f32 for the mat-vec
+    # (values < 2^23: exact)
+    tab = jnp.pad(table.astype(jnp.float32), ((0, 8), (0, 0)))
 
     out_spec = pl.BlockSpec((1, inst_block, 1), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
-        out_specs=[out_spec] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        out_specs=[out_spec] * 3,
         scratch_shapes=[pltpu.VMEM((1, wg), jnp.int32)] * 6 + [
-            pltpu.SemaphoreType.DMA((6,))],
+            pltpu.VMEM((8, t_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((7,))],
     )
     shape = jax.ShapeDtypeStruct((nblocks, inst_block, 1), jnp.int32)
-    tk, rank, g_row, gid = pl.pallas_call(
+    slot, gid, g_row = pl.pallas_call(
         functools.partial(_inst_kernel, wg=wg, gauss_chunk=gauss_chunk,
-                          grid_x=grid_x, inst_block=inst_block),
+                          grid_x=grid_x, inst_block=inst_block,
+                          t_pad=t_pad),
         grid_spec=grid_spec,
-        out_shape=(shape,) * 4,
+        out_shape=(shape,) * 3,
         interpret=interpret,
     )(wstart, lanes(x0), lanes(y0), lanes(x1), lanes(y1),
       # padding gaussians must never be counted by the searchsorted pass
-      lanes(offsets, fill=2**31 - 1), lanes(order))
-    return (tk.reshape(m), rank.reshape(m), g_row.reshape(m),
-            gid.reshape(m))
+      lanes(offsets, fill=2**31 - 1), lanes(order), tab)
+    return slot.reshape(m), gid.reshape(m), g_row.reshape(m)

@@ -19,19 +19,29 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
 
 def main():
     sys.path.insert(0, '/root/repo')
-    import bench
-    step, params = bench.build()
+    if '--stage2' in sys.argv:
+        import bench_stage2
+        step_fn, args_ = bench_stage2.build()
+        def step():
+            out = step_fn(*args_)
+            return out[-1]['loss']
+    else:
+        import bench
+        step1, params = bench.build()
+        def step():
+            loss, grads = step1(params)
+            return (loss, grads)
 
-    loss, grads = step(params)
-    jax.block_until_ready(loss)
+    out = step()
+    jax.block_until_ready(out)
     for _ in range(3):
-        loss, grads = step(params)
-    jax.block_until_ready(loss)
+        out = step()
+    jax.block_until_ready(out)
 
     jax.profiler.start_trace('/tmp/svgir_trace')
     for _ in range(10):
-        loss, grads = step(params)
-    jax.block_until_ready((loss, grads))
+        out = step()
+    jax.block_until_ready(out)
     jax.profiler.stop_trace()
 
     # newest trace file
