@@ -22,6 +22,8 @@ def main(argv=None):
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--max_cameras", type=int, default=None)
+    # reference eval_nvs renders the scale-4 camera set (eval_nvs.py:133-136)
+    parser.add_argument("--eval_scale", type=float, default=4.0)
     args = parser.parse_args(argv)
 
     model_cfg = from_args(ModelConfig, args)
@@ -84,12 +86,13 @@ def main(argv=None):
                            strip_meta(cam))
 
     results = {}
+    s = args.eval_scale
     if not args.skip_train and scene.train_cameras:
-        results["train"] = render_set(out_dir, "train", scene.train_cameras,
-                                      render_one)
+        results["train"] = render_set(out_dir, "train",
+                                      scene.train_cameras_at(s), render_one)
     if not args.skip_test and scene.test_cameras:
-        results["test"] = render_set(out_dir, "test", scene.test_cameras,
-                                     render_one)
+        results["test"] = render_set(out_dir, "test",
+                                     scene.test_cameras_at(s), render_one)
     print(json.dumps(results, indent=2))
 
 

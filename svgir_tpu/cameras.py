@@ -124,6 +124,35 @@ def make_camera(R: np.ndarray, T: np.ndarray, fovx: float, fovy: float,
         normal=dev(normal), mono=dev(mono))
 
 
+def camera_at_scale(cam: Camera, scale: float) -> Camera:
+    """Downscaled copy of ``cam`` (reference Scene resolution_scales
+    [1, 4, 8], scene/__init__.py:29,90-95; eval_nvs renders at scale 4,
+    eval_nvs.py:133-136).  FoV is unchanged; pixel dims divide by
+    ``scale``; all image-plane tensors are area-resampled."""
+    if scale in (1, 1.0):
+        return cam
+    import dataclasses
+
+    import cv2
+
+    w, h = int(cam.width / scale), int(cam.height / scale)
+
+    def rs(img):
+        if img is None:
+            return None
+        a = np.asarray(img)                       # [C, H, W]
+        out = cv2.resize(a.transpose(1, 2, 0), (w, h),
+                         interpolation=cv2.INTER_AREA)
+        if out.ndim == 2:
+            out = out[..., None]
+        return jnp.asarray(out.transpose(2, 0, 1), jnp.float32)
+
+    return dataclasses.replace(
+        cam, width=w, height=h, image=rs(cam.image),
+        image_mask=rs(cam.image_mask), depth=rs(cam.depth),
+        normal=rs(cam.normal), mono=rs(cam.mono))
+
+
 def look_at_camera(eye, target, up, fovx: float, fovy: float,
                    width: int, height: int, **kw) -> Camera:
     """Convenience constructor for tests/GUI orbiting: camera looking at

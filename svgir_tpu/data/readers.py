@@ -34,6 +34,26 @@ class SceneData:
     normals: np.ndarray
     cameras_extent: float
     ply_path: str = ""
+    # lazily-built downscaled camera lists (reference Scene holds
+    # resolution_scales [1, 4, 8] eagerly, scene/__init__.py:29,90-95;
+    # scale-4 is what eval_nvs renders, eval_nvs.py:133-136)
+    _scaled: dict = field(default_factory=dict)
+
+    def train_cameras_at(self, scale: float = 1.0) -> List[Camera]:
+        return self._cams_at("train", scale)
+
+    def test_cameras_at(self, scale: float = 1.0) -> List[Camera]:
+        return self._cams_at("test", scale)
+
+    def _cams_at(self, split: str, scale: float) -> List[Camera]:
+        cams = getattr(self, f"{split}_cameras")
+        if scale in (1, 1.0):
+            return cams
+        key = (split, scale)
+        if key not in self._scaled:
+            from svgir_tpu.cameras import camera_at_scale
+            self._scaled[key] = [camera_at_scale(c, scale) for c in cams]
+        return self._scaled[key]
 
 
 def _nerfpp_radius(w2cs: List[np.ndarray]) -> float:

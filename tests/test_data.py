@@ -67,6 +67,17 @@ def test_blender_reader(tmp_path):
                         eval_split=False)
     assert len(scene2.train_cameras) == 3
 
+    # multi-resolution camera scales (reference Scene resolution_scales
+    # [1, 4, 8], scene/__init__.py:29; eval renders at 4, eval_nvs.py:133)
+    c4 = scene.train_cameras_at(4)[0]
+    assert (c4.width, c4.height) == (8, 8)
+    assert c4.image.shape == (3, 8, 8) and c4.image_mask.shape == (1, 8, 8)
+    assert c4.fovx == cam.fovx and c4.fovy == cam.fovy
+    np.testing.assert_allclose(np.asarray(c4.image).mean(),
+                               np.asarray(cam.image).mean(), atol=0.05)
+    assert scene.train_cameras_at(1) is scene.train_cameras
+    assert scene.train_cameras_at(4) is scene.train_cameras_at(4)  # cached
+
 
 def _write_sfm_scene(root, n_cams=4, res=24):
     """Minimal render_relight/DTU layout: inputs/sfm_scene.json +
