@@ -40,10 +40,10 @@ def build():
     # Instance buffers are static-shaped; every gather/scatter/zero-fill in
     # the step scales with this cap, so size it to the scene like the CUDA
     # reference sizes its dynamic buffers (measured ~345k instances here;
-    # 1<<19 leaves 1.5x headroom and is overflow-checked below).  The v3
-    # counting binner duplicates unboundedly (exact CUDA semantics) — no
-    # per-splat tile cap to tune.
-    cfg = RasterConfig(max_instances=1 << 19, chunk=128)
+    # 7<<16 = 458752 leaves 1.33x headroom and is overflow-checked below).
+    # The v3 counting binner duplicates unboundedly (exact CUDA semantics)
+    # — no per-splat tile cap to tune.
+    cfg = RasterConfig(max_instances=7 << 16, chunk=128)
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 4)

@@ -169,14 +169,23 @@ def bin_instances_counting(prep: Preprocessed, *,
     m = cfg.max_instances
     n = prep.valid.shape[0]
 
-    order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf),
-                        stable=True)
-    valid_s = prep.valid[order]
-    x0 = jnp.where(valid_s, prep.rect_min[order, 0], 0)
-    y0 = jnp.where(valid_s, prep.rect_min[order, 1], 0)
-    x1 = jnp.where(valid_s, prep.rect_max[order, 0], 0)
-    y1 = jnp.where(valid_s, prep.rect_max[order, 1], 0)
-    touched = jnp.where(valid_s, (x1 - x0) * (y1 - y0), 0)
+    # one multi-operand sort carries the rects and ids with the depth key
+    # (separate [N] post-sort gathers each ran at XLA's ~0.6 GB/s 1-D gather
+    # rate, ~0.5 ms apiece at 50k); invalid gaussians get zero rects and
+    # id -1 up front so no post-sort masking pass is needed either
+    v = prep.valid
+    key = jnp.where(v, prep.depth, jnp.inf).astype(jnp.float32)
+    ids = jnp.where(v, jnp.arange(n, dtype=jnp.int32), -1)
+    z = jnp.zeros((), jnp.int32)
+    _, x0, y0, x1, y1, order_s = jax.lax.sort(
+        (key,
+         jnp.where(v, prep.rect_min[:, 0], z),
+         jnp.where(v, prep.rect_min[:, 1], z),
+         jnp.where(v, prep.rect_max[:, 0], z),
+         jnp.where(v, prep.rect_max[:, 1], z),
+         ids),
+        num_keys=1, is_stable=True)
+    touched = (x1 - x0) * (y1 - y0)
 
     npad = (-n) % gauss_chunk
     def pad(a):
@@ -190,7 +199,6 @@ def bin_instances_counting(prep: Preprocessed, *,
     tile_start, padded_counts, total_padded, carry_tab = compute_counts(
         x0p, y0p, x1p, y1p, grid_x=grid_x, grid_y=grid_y, chunk=chunk,
         gauss_chunk=gauss_chunk, interpret=interpret)
-    t_pad = carry_tab.shape[1]
 
     # ---- compact instance enumeration (gaussian-major) -------------------
     # per-instance work happens inside compute_instances; here only the
@@ -211,13 +219,18 @@ def bin_instances_counting(prep: Preprocessed, *,
         side="right") - 1, 0, offsets.shape[0] - 1)
     wstart = ((firsts // gauss_chunk) * gauss_chunk).astype(jnp.int32)
 
-    order_p = pad(jnp.where(valid_s, order, -1).astype(jnp.int32))
-    # fold the chunk-aligned tile starts into the carry table; the kernel
-    # looks its block's row up in-VMEM (XLA per-instance gathers run
-    # ~0.6 GB/s here)
-    start_row = jnp.zeros((t_pad,), jnp.int32).at[:num_tiles].set(
-        tile_start.astype(jnp.int32))
-    table = carry_tab + start_row[None, :]
+    order_p = pad(order_s)
+    # fold the chunk-aligned tile starts into the carry table and lay it
+    # out as padded (ty, tx) planes for the kernel's two-stage lookup
+    # (XLA per-instance gathers run ~0.6 GB/s here); f32 is exact for
+    # slot values < 2^23
+    gyp = -(-grid_y // 8) * 8
+    gxp = -(-grid_x // 128) * 128
+    tbl = (carry_tab[:, :num_tiles]
+           + tile_start[None, :].astype(jnp.int32)).astype(jnp.float32)
+    nct = tbl.shape[0]
+    table = jnp.zeros((nct, gyp, gxp), jnp.float32).at[
+        :, :grid_y, :grid_x].set(tbl.reshape(nct, grid_y, grid_x))
     slot, gid, _ = compute_instances(
         x0p, y0p, x1p, y1p, offsets, order_p, wstart, table, m=m,
         grid_x=grid_x, gauss_chunk=gauss_chunk, inst_block=inst_block,
@@ -234,4 +247,4 @@ def bin_instances_counting(prep: Preprocessed, *,
         tile_start=tile_start.astype(jnp.int32),
         tile_count=padded_counts.astype(jnp.int32),
         num_instances=jnp.minimum(total_padded, m), overflow=overflow,
-        order=order.astype(jnp.int32))
+        order=order_s)

@@ -113,7 +113,7 @@ def compute_counts(x0, y0, x1, y1, *, grid_x, grid_y, chunk,
 def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh, tabh,
                  slot_ref, gid_ref, grow_ref,
                  x0w, y0w, x1w, y1w, offw, ordw, tabw, sems,
-                 *, wg, gauss_chunk, grid_x, inst_block, t_pad):
+                 *, wg, gauss_chunk, grid_x, inst_block):
     """Per-instance expansion + depth-rank slot assignment, all in-VMEM.
 
     Block of IB instances on sublanes; a [1, WG] window of depth-sorted
@@ -124,11 +124,13 @@ def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh, tabh,
                XLA's own searchsorted lowers to a 16-round while loop of
                [M] gathers, ~60 ms/step at bench shapes)
       k      = j - offsets[g];  tile = rect cell k in y-outer order
-      rank   = table[chunk(ws), tile]   (instances from chunks before the
-               window — looked up via a one-hot mat-vec against the ONE
-               table row this block needs)
+      rank   = table[chunk(ws), ty, tx]  (instances from chunks before the
+               window — the block DMAs its ONE table plane [GYp, GXp] and
+               looks (ty, tx) up with a two-stage one-hot: a row-select
+               matmul then a masked lane reduce; a flat [IB, T_pad] one-hot
+               builds T_pad/GXp times more VMEM traffic)
              + #{g' in [ws, g), rect covers tile}   (window pair test)
-      slot   = rank  (the table row already folds in the chunk-aligned
+      slot   = rank  (the table plane already folds in the chunk-aligned
                tile starts)
     Emits slot and the original gaussian id per instance — no per-instance
     XLA gathers remain (they run ~0.6 GB/s on TPU).
@@ -136,7 +138,6 @@ def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh, tabh,
     b = pl.program_id(0)
     ws = pl.multiple_of(wstart_ref[b], gauss_chunk)
     chunk_ws = ws // gauss_chunk
-    rbase = (chunk_ws // 8) * 8
 
     copies = []
     for i, (src, dst) in enumerate(((x0h, x0w), (y0h, y0w), (x1h, x1w),
@@ -144,8 +145,7 @@ def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh, tabh,
         cp = pltpu.make_async_copy(src.at[:, pl.ds(ws, wg)], dst, sems.at[i])
         cp.start()
         copies.append(cp)
-    tcp = pltpu.make_async_copy(
-        tabh.at[pl.ds(pl.multiple_of(rbase, 8), 8), :], tabw, sems.at[6])
+    tcp = pltpu.make_async_copy(tabh.at[chunk_ws], tabw, sems.at[6])
     tcp.start()
     for cp in copies:
         cp.wait()
@@ -181,23 +181,23 @@ def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh, tabh,
                    / w_r.astype(jnp.float32)).astype(jnp.int32)
     tx = x0i + k - qy * w_r
     ty = y0i + qy
-    tk = ty * grid_x + tx                              # [IB, 1]
 
     cover = ((x0v <= tx) & (tx < x1v) & (y0v <= ty) & (ty < y1v))
     gate = w_io < gl
     rank = jnp.sum((cover & gate).astype(jnp.int32), axis=1, keepdims=True)
 
-    # table row chunk_ws (one per block): one-hot row select over the 8
-    # aligned rows, then a per-instance one-hot mat-vec over tiles
-    r_io = jax.lax.broadcasted_iota(jnp.int32, (8, t_pad), 0) + rbase
-    trow = jnp.sum(jnp.where(r_io == chunk_ws, tabw[:, :], 0.0),
-                   axis=0, keepdims=True)              # [1, t_pad] f32
-    t_io = jax.lax.broadcasted_iota(jnp.int32, (ib, t_pad), 1)
-    sel_t = (t_io == tk).astype(jnp.float32)           # [IB, t_pad]
-    base = jax.lax.dot_general(
-        sel_t, trow.T, dimension_numbers=(((1,), (0,)), ((), ())),
+    # two-stage (ty, tx) lookup in the block's table plane [GYp, GXp]:
+    # one-hot row select rides the MXU, the column pick is a masked
+    # lane reduce (f32 values < 2^23: exact)
+    gyp, gxp = tabw.shape
+    ty_oh = (jax.lax.broadcasted_iota(jnp.int32, (ib, gyp), 1)
+             == ty).astype(jnp.float32)                # [IB, GYp]
+    rows = jax.lax.dot_general(
+        ty_oh, tabw[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)           # [IB, 1] exact
+        precision=jax.lax.Precision.HIGHEST)           # [IB, GXp]
+    tx_oh = jax.lax.broadcasted_iota(jnp.int32, (ib, gxp), 1) == tx
+    base = jnp.sum(jnp.where(tx_oh, rows, 0.0), axis=1, keepdims=True)
     slot_ref[0] = base.astype(jnp.int32) + rank
     gid_ref[0] = gidi
     grow_ref[0] = gl + ws
@@ -212,23 +212,20 @@ def compute_instances(x0, y0, x1, y1, offsets, order, wstart, table, *, m,
 
     x0..y1/order: depth-sorted rects + original ids [Ns]; offsets:
     exclusive prefix sum of touched counts [Ns]; wstart [nblocks]: each
-    block's chunk-aligned window start; table [nchunks, T_pad]: per-chunk
-    carry snapshots with the chunk-aligned tile starts folded in.
+    block's chunk-aligned window start; table [nchunks, GYp, GXp] f32:
+    per-chunk carry snapshots laid out as padded (ty, tx) planes, with
+    the chunk-aligned tile starts folded in.
     Returns per-instance (slot, gid, g_row) each [m] — g_row is the SORTED
     gaussian row, monotone over the gaussian-major enumeration, so callers
     can run sorted segment reductions over instance data.
     """
     nblocks = m // inst_block
     wg = inst_block + gauss_chunk
-    t_pad = table.shape[1]
+    gyp, gxp = table.shape[1], table.shape[2]
 
     def lanes(a, fill=0):
         return jnp.pad(a.astype(jnp.int32), (0, wg),
                        constant_values=fill)[None, :]
-
-    # pad table rows so any 8-aligned window fits; f32 for the mat-vec
-    # (values < 2^23: exact)
-    tab = jnp.pad(table.astype(jnp.float32), ((0, 8), (0, 0)))
 
     out_spec = pl.BlockSpec((1, inst_block, 1), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -238,18 +235,17 @@ def compute_instances(x0, y0, x1, y1, offsets, order, wstart, table, *, m,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=[out_spec] * 3,
         scratch_shapes=[pltpu.VMEM((1, wg), jnp.int32)] * 6 + [
-            pltpu.VMEM((8, t_pad), jnp.float32),
+            pltpu.VMEM((gyp, gxp), jnp.float32),
             pltpu.SemaphoreType.DMA((7,))],
     )
     shape = jax.ShapeDtypeStruct((nblocks, inst_block, 1), jnp.int32)
     slot, gid, g_row = pl.pallas_call(
         functools.partial(_inst_kernel, wg=wg, gauss_chunk=gauss_chunk,
-                          grid_x=grid_x, inst_block=inst_block,
-                          t_pad=t_pad),
+                          grid_x=grid_x, inst_block=inst_block),
         grid_spec=grid_spec,
         out_shape=(shape,) * 3,
         interpret=interpret,
     )(wstart, lanes(x0), lanes(y0), lanes(x1), lanes(y1),
       # padding gaussians must never be counted by the searchsorted pass
-      lanes(offsets, fill=2**31 - 1), lanes(order), tab)
+      lanes(offsets, fill=2**31 - 1), lanes(order), table)
     return slot.reshape(m), gid.reshape(m), g_row.reshape(m)

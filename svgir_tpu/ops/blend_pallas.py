@@ -30,10 +30,13 @@ sorted+padded instances) so each chunk is a single 2-D DMA:
   rows NG+CA..   4*CV vertex channels (v-major: v*CV + c), blended with
                   w * bilinear vertex weight.
 
-Per-tile output block [P=256, CA+CV+2]: plain accums, vertex accums, final
-logT, n_contrib.  Final image assembly (bg composite, depth normalization)
-happens outside in plain JAX, so this kernel's custom VJP boundary receives
-gradients for raw accumulators and logT directly.
+Per-tile output block [CA+CV+3, P=256], channel-major so the channel dim
+rides sublanes (17 channels on lanes would pad to 128 — a 7.5x HBM
+footprint for every downstream reshape/slice): plain accums, vertex
+accums, final logT, n_contrib, chunks-processed.  Final image assembly
+(bg composite, depth normalization) happens outside in plain JAX, so this
+kernel's custom VJP boundary receives gradients for raw accumulators and
+logT directly.
 """
 
 from __future__ import annotations
@@ -139,7 +142,10 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     px, py = _pixel_coords(t, grid_x, tile)
     su = _tri_strict_upper(chunk)
 
-    out_ref[0] = jnp.zeros((PIX, ca + cv + 3), jnp.float32)
+    # channel-major output [co, PIX]: co rides sublanes (pads 17 -> 24)
+    # instead of lanes (17 -> 128, a 7.5x HBM footprint that made every
+    # downstream reshape/slice of the tile tensor pay 7.5x traffic)
+    out_ref[0] = jnp.zeros((ca + cv + 3, PIX), jnp.float32)
 
     def slab_copy(c, slot):
         return pltpu.make_async_copy(
@@ -158,7 +164,7 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     def _():
         slab_copy(0, 0).start()
 
-    def body(c, logT):
+    def body(c, logT, nc):
         slot = c % 2
 
         @pl.when(c + 1 < nchunks)
@@ -174,20 +180,17 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
         w = jnp.where(gate, m["alpha"] * jnp.exp(logT_excl), 0.0)
 
         attrs = slab[NG:NG + ca, :]                       # [CA, chunk]
-        acc_plain = _dot(w, attrs, ((1,), (1,)))          # [PIX, CA]
-        out_ref[0, :, 0:ca] += acc_plain
+        acc_plain = _dot(attrs, w, ((1,), (1,)))          # [CA, PIX]
+        out_ref[0, 0:ca, :] += acc_plain
 
         if cv:
             wv = ((1 - m["u"]) * (1 - m["v"]), m["u"] * (1 - m["v"]),
                   (1 - m["u"]) * m["v"], m["u"] * m["v"])
-            acc_vf = jnp.zeros((PIX, cv), jnp.float32)
+            acc_vf = jnp.zeros((cv, PIX), jnp.float32)
             for vtx in range(4):
                 va = slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-                acc_vf += _dot(w * wv[vtx], va, ((1,), (1,)))
-            out_ref[0, :, ca:ca + cv] += acc_vf
-
-        out_ref[0, :, ca + cv + 1:ca + cv + 2] += jnp.sum(
-            gate.astype(jnp.float32), axis=1, keepdims=True)
+                acc_vf += _dot(va, w * wv[vtx], ((1,), (1,)))
+            out_ref[0, ca:ca + cv, :] += acc_vf
 
         # async weight-row writeback: drain the copy issued two chunks ago
         # on this slot before overwriting its staging buffer
@@ -198,20 +201,23 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
         wrow_vmem[slot] = jnp.sum(w, axis=0, keepdims=True)  # [1, chunk]
         w_copy(c, slot).start()
 
-        return logT + jnp.sum(m["loga"], axis=1, keepdims=True)
+        return (logT + jnp.sum(m["loga"], axis=1, keepdims=True),
+                nc + jnp.sum(gate.astype(jnp.float32), axis=1,
+                             keepdims=True))
 
     # early exit once every pixel saturates (all logT < log 1e-4):
     # remaining instances can no longer contribute (forward.cu:550-554)
     def cond(state):
-        c, logT = state
+        c, logT, nc = state
         return (c < nchunks) & (jnp.max(logT) >= LOG_T_EPS)
 
     def wbody(state):
-        c, logT = state
-        return c + 1, body(c, logT)
+        c, logT, nc = state
+        return (c + 1,) + body(c, logT, nc)
 
-    c_stop, logT = jax.lax.while_loop(
-        cond, wbody, (jnp.int32(0), jnp.zeros((PIX, 1), jnp.float32)))
+    c_stop, logT, nc = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), jnp.zeros((PIX, 1), jnp.float32),
+                      jnp.zeros((PIX, 1), jnp.float32)))
 
     # drain the prefetch issued for the chunk the early exit skipped
     # (c_stop < nchunks implies iteration c_stop-1 ran and prefetched it)
@@ -244,9 +250,10 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     def _():
         w_copy(nchunks - 2, (nchunks - 2) % 2).wait()
 
-    out_ref[0, :, ca + cv:ca + cv + 1] = logT
-    out_ref[0, :, ca + cv + 2:ca + cv + 3] = jnp.full(
-        (PIX, 1), 1.0, jnp.float32) * c_stop.astype(jnp.float32)
+    out_ref[0, ca + cv:ca + cv + 1, :] = logT.T
+    out_ref[0, ca + cv + 1:ca + cv + 2, :] = nc.T
+    out_ref[0, ca + cv + 2:ca + cv + 3, :] = jnp.full(
+        (1, PIX), 1.0, jnp.float32) * c_stop.astype(jnp.float32)
 
 
 def blend_forward(slab: jax.Array, tile_start: jax.Array,
@@ -255,9 +262,9 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
                   chunk: int = 128, interpret: bool = False):
     """Run the forward blend.  ``slab`` is ROW-major [M, KR] (instance rows)
     so the producing gather writes contiguously; chunks are transposed to
-    [KR, chunk] inside the kernel.  Returns (out [T, 256, CA+CV+3] — plain
-    accums, vertex accums, final logT, n_contrib, chunks-processed — and
-    wsum [1, M])."""
+    [KR, chunk] inside the kernel.  Returns (out [T, CA+CV+3, 256] —
+    channel-major: plain accums, vertex accums, final logT, n_contrib,
+    chunks-processed — and wsum [1, M])."""
     m, kr = slab.shape
     kernel = functools.partial(_fwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
                                grid_x=grid_x, tile=tile)
@@ -266,7 +273,7 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, PIX, ca + cv + 3), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, ca + cv + 3, PIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -280,7 +287,7 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
     out, wsum = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, PIX, ca + cv + 3), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, ca + cv + 3, PIX), jnp.float32),
             jax.ShapeDtypeStruct((1, m), jnp.float32),
         ),
         grid_spec=grid_spec,
@@ -314,12 +321,12 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
     sl = _tri_strict_lower(chunk)
     li = _tri_lower_incl(chunk)
 
-    g_plain = gout_ref[0, :, 0:ca]                       # [PIX, CA]
-    g_vf = gout_ref[0, :, ca:ca + cv] if cv else None
-    g_logt = gout_ref[0, :, ca + cv:ca + cv + 1]         # [PIX, 1]
+    g_plain = gout_ref[0, 0:ca, :]                       # [CA, PIX]
+    g_vf = gout_ref[0, ca:ca + cv, :] if cv else None
+    g_logt = gout_ref[0, ca + cv:ca + cv + 1, :].T       # [PIX, 1]
     # forward stopped after nchunks_eff chunks (early exit); only those
     # entered logT_final and produced weights
-    nchunks_eff = meta_ref[0, 0, 2].astype(jnp.int32)
+    nchunks_eff = meta_ref[0, 2, 0].astype(jnp.int32)
 
     # double-buffered staging (see _fwd_kernel): slab + g_wsum loads for the
     # next (earlier) chunk are issued before this chunk's compute; d_slab
@@ -377,7 +384,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
 
         attrs = slab[NG:NG + ca, :]
         # dL/dw: plain channels + per-instance wsum grads (+ vertex below)
-        dw = _dot(g_plain, attrs, ((1,), (0,)))           # [PIX, chunk]
+        dw = _dot(g_plain, attrs, ((0,), (0,)))           # [PIX, chunk]
         if has_gwsum:
             dw += grow_vmem[slot]                         # broadcast [1,chunk]
 
@@ -391,7 +398,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
             mv = [None] * 4
             for vtx in range(4):
                 va = slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-                mv[vtx] = _dot(g_vf, va, ((1,), (0,)))    # [PIX, chunk]
+                mv[vtx] = _dot(g_vf, va, ((0,), (0,)))    # [PIX, chunk]
             wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
             dw += sum(wv[k] * mv[k] for k in range(4))
             d_u = w * ((1 - v) * (mv[1] - mv[0]) + v * (mv[3] - mv[2]))
@@ -449,13 +456,13 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
         dslab_vmem[9:10, :] = d_j3
         dslab_vmem[10:11, :] = d_lamx_row
         dslab_vmem[11:12, :] = d_lamy_row
-        dslab_vmem[NG:NG + ca, :] = _dot(g_plain, w, ((0,), (0,)))
+        dslab_vmem[NG:NG + ca, :] = _dot(g_plain, w, ((1,), (0,)))
         if cv:
             u, v = m["u"], m["v"]
             wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
             for vtx in range(4):
                 dslab_vmem[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :] = \
-                    _dot(g_vf, w * wv[vtx], ((0,), (0,)))
+                    _dot(g_vf, w * wv[vtx], ((1,), (0,)))
 
         # drain the store issued two iterations ago on this slot before
         # overwriting its staging buffer
@@ -470,7 +477,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
         new_suf = suf + jnp.sum(s_term, axis=1, keepdims=True)
         return (new_logT, new_suf)
 
-    logT_final = meta_ref[0, :, 0:1]
+    logT_final = meta_ref[0, 0:1, :].T                   # [PIX, 1]
     jax.lax.fori_loop(0, nchunks_eff, body, (logT_final, g_logt))
 
     # chunks skipped by the forward early exit contributed nothing:
@@ -524,9 +531,9 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # slab
-            pl.BlockSpec((1, PIX, ca + cv + 3), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, ca + cv + 3, PIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # g_out
-            pl.BlockSpec((1, PIX, 3), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 3, PIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # logT/nc/cstop
             pl.BlockSpec(memory_space=pl.ANY),                 # g_wsum
         ],

@@ -46,7 +46,7 @@ def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret,
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
         wsum = jnp.where(inst_valid[None, :], wsum, 0.0)
-        meta = out[..., ca + cv:ca + cv + 3]
+        meta = out[:, ca + cv:ca + cv + 3, :]
         return (out, wsum), (slab, tile_start, tile_count, inst_valid, meta)
 
     def blend_bwd(res, cotangents):
@@ -112,7 +112,7 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
         weights = _scatter_reduce_ext(wsum[0], gid)[:n]
-        meta = out[..., ca + cv:ca + cv + 3]
+        meta = out[:, ca + cv:ca + cv + 3, :]
         res = (slab_rows, gid, tile_start, tile_count, meta)
         return (out, weights), res
 
@@ -284,8 +284,8 @@ def rasterize(
 
     # ---- assemble tile blocks into images --------------------------------
     co = ca + cv + 3
-    img = out.reshape(grid_y, grid_x, tile, tile, co)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(co, grid_y * tile,
+    img = out.reshape(grid_y, grid_x, co, tile, tile)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(co, grid_y * tile,
                                                grid_x * tile)
     img = img[:, :height, :width]
 

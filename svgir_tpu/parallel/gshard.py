@@ -254,14 +254,14 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
                                        shs if shs is not None
                                        else jnp.zeros((n, 0, 3)),
                                        colors, features, vfeatures, mask)
-    # out: [ndev * T_local, 256, CO] replicated tiles -> full image
+    # out: [ndev * T_local, CO, 256] replicated channel-major tiles -> image
     s = 0 if features is None else features.shape[1]
     vs = 0 if vfeatures is None else vfeatures.shape[1]
     ca = 9 + s
     cv = vs // 4
     co = ca + cv + 3
-    img = out.reshape(grid_y_total, grid_x, tile, tile, co)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(co, grid_y_total * tile,
+    img = out.reshape(grid_y_total, grid_x, co, tile, tile)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(co, grid_y_total * tile,
                                                grid_x * tile)
     img = img[:, :height, :width]
 
