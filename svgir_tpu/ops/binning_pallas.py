@@ -136,29 +136,47 @@ def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh, tabh,
     XLA gathers remain (they run ~0.6 GB/s on TPU).
     """
     b = pl.program_id(0)
+    nprog = pl.num_programs(0)
     ws = pl.multiple_of(wstart_ref[b], gauss_chunk)
-    chunk_ws = ws // gauss_chunk
 
-    copies = []
-    for i, (src, dst) in enumerate(((x0h, x0w), (y0h, y0w), (x1h, x1w),
-                                    (y1h, y1w), (offh, offw), (ordh, ordw))):
-        cp = pltpu.make_async_copy(src.at[:, pl.ds(ws, wg)], dst, sems.at[i])
-        cp.start()
-        copies.append(cp)
-    tcp = pltpu.make_async_copy(tabh.at[chunk_ws], tabw, sems.at[6])
-    tcp.start()
-    for cp in copies:
+    # double-buffered cross-block staging: block b+1's seven window copies
+    # are issued before block b's compute, so only block 0 exposes a DMA
+    # round-trip (wstart is a prefetched scalar array, so b+1's window
+    # start is known here)
+    def window_copies(bi, slot):
+        ws_i = pl.multiple_of(wstart_ref[bi], gauss_chunk)
+        cps = [pltpu.make_async_copy(src.at[:, pl.ds(ws_i, wg)],
+                                     dst.at[slot], sems.at[slot, i])
+               for i, (src, dst) in enumerate(
+                   ((x0h, x0w), (y0h, y0w), (x1h, x1w),
+                    (y1h, y1w), (offh, offw), (ordh, ordw)))]
+        cps.append(pltpu.make_async_copy(tabh.at[ws_i // gauss_chunk],
+                                         tabw.at[slot], sems.at[slot, 6]))
+        return cps
+
+    slot = b % 2
+
+    @pl.when(b == 0)
+    def _():
+        for cp in window_copies(0, 0):
+            cp.start()
+
+    @pl.when(b + 1 < nprog)
+    def _():
+        for cp in window_copies(b + 1, (b + 1) % 2):
+            cp.start()
+
+    for cp in window_copies(b, slot):
         cp.wait()
-    tcp.wait()
 
     ib = inst_block
     j = (jax.lax.broadcasted_iota(jnp.int32, (ib, 1), 0)
          + b * inst_block)                             # [IB, 1]
     w_io = jax.lax.broadcasted_iota(jnp.int32, (ib, wg), 1)
 
-    x0v, y0v = x0w[:, :], y0w[:, :]                    # [1, WG] rows
-    x1v, y1v = x1w[:, :], y1w[:, :]
-    offv, ordv = offw[:, :], ordw[:, :]
+    x0v, y0v = x0w[slot], y0w[slot]                    # [1, WG] rows
+    x1v, y1v = x1w[slot], y1w[slot]
+    offv, ordv = offw[slot], ordw[slot]
 
     # window-local searchsorted: all gaussians before the window have
     # offsets <= j for every instance in this block
@@ -189,11 +207,11 @@ def _inst_kernel(wstart_ref, x0h, y0h, x1h, y1h, offh, ordh, tabh,
     # two-stage (ty, tx) lookup in the block's table plane [GYp, GXp]:
     # one-hot row select rides the MXU, the column pick is a masked
     # lane reduce (f32 values < 2^23: exact)
-    gyp, gxp = tabw.shape
+    gyp, gxp = tabw.shape[1], tabw.shape[2]
     ty_oh = (jax.lax.broadcasted_iota(jnp.int32, (ib, gyp), 1)
              == ty).astype(jnp.float32)                # [IB, GYp]
     rows = jax.lax.dot_general(
-        ty_oh, tabw[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+        ty_oh, tabw[slot], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)           # [IB, GXp]
     tx_oh = jax.lax.broadcasted_iota(jnp.int32, (ib, gxp), 1) == tx
@@ -234,9 +252,9 @@ def compute_instances(x0, y0, x1, y1, offsets, order, wstart, table, *, m,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=[out_spec] * 3,
-        scratch_shapes=[pltpu.VMEM((1, wg), jnp.int32)] * 6 + [
-            pltpu.VMEM((gyp, gxp), jnp.float32),
-            pltpu.SemaphoreType.DMA((7,))],
+        scratch_shapes=[pltpu.VMEM((2, 1, wg), jnp.int32)] * 6 + [
+            pltpu.VMEM((2, gyp, gxp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 7))],
     )
     shape = jax.ShapeDtypeStruct((nblocks, inst_block, 1), jnp.int32)
     slot, gid, g_row = pl.pallas_call(

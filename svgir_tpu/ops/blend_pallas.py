@@ -135,8 +135,14 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     before chunk c's compute (2-slot VMEM staging), and the per-chunk weight
     row writeback is drained two iterations later — the TPU analog of the
     CUDA kernel's cooperative shared-memory staging (forward.cu:503-519),
-    hiding both directions' DMA latency behind the blend matmuls."""
+    hiding both directions' DMA latency behind the blend matmuls.
+
+    Cross-tile pipelining: tile t+1's FIRST chunk is prefetched at the start
+    of tile t's grid step into one of two alternating extra slots (2 + t%2),
+    so no tile stalls on its opening DMA — without this every grid step
+    exposes one full HBM round-trip."""
     t = pl.program_id(0)
+    nprog = pl.num_programs(0)
     start = pl.multiple_of(starts_ref[t], chunk)
     nchunks = counts_ref[t] // chunk
     px, py = _pixel_coords(t, grid_x, tile)
@@ -147,11 +153,13 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     # downstream reshape/slice of the tile tensor pay 7.5x traffic)
     out_ref[0] = jnp.zeros((ca + cv + 3, PIX), jnp.float32)
 
-    def slab_copy(c, slot):
+    def slab_copy_at(s, slot):
         return pltpu.make_async_copy(
-            slab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                              chunk), :],
+            slab_hbm.at[pl.ds(pl.multiple_of(s, chunk), chunk), :],
             slab_vmem.at[slot], dma_sem.at[slot])
+
+    def slab_copy(c, slot):
+        return slab_copy_at(start + c * chunk, slot)
 
     def w_copy(c, slot):
         return pltpu.make_async_copy(
@@ -160,12 +168,22 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
                                  chunk)],
             w_sem.at[slot])
 
-    @pl.when(nchunks > 0)
+    first = 2 + t % 2      # this tile's first-chunk slot
+
+    @pl.when((t == 0) & (nchunks > 0))
     def _():
-        slab_copy(0, 0).start()
+        slab_copy(0, first).start()
+
+    # prefetch tile t+1's first chunk into the other extra slot; its grid
+    # step will find the data already in flight (or landed)
+    @pl.when(t + 1 < nprog)
+    def _():
+        @pl.when(counts_ref[t + 1] > 0)
+        def _():
+            slab_copy_at(starts_ref[t + 1], 2 + (t + 1) % 2).start()
 
     def body(c, logT, nc):
-        slot = c % 2
+        slot = jnp.where(c == 0, first, c % 2)
 
         @pl.when(c + 1 < nchunks)
         def _():
@@ -278,9 +296,11 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, kr), jnp.float32),
+            # slots 0/1: steady-state double buffer; 2/3: alternating
+            # cross-tile first-chunk prefetch slots
+            pltpu.VMEM((4, chunk, kr), jnp.float32),
             pltpu.VMEM((2, 1, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -301,8 +321,8 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
-                gwsum_hbm, dslab_hbm,
+def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
+                meta_ref, gwsum_hbm, dslab_hbm,
                 slab_vmem, grow_vmem, dslab_vmem, dslab_rows, dma_sem,
                 g_sem, d_sem,
                 *, chunk, ca, cv, kr, grid_x, tile, has_gwsum=True):
@@ -315,6 +335,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
     prefix-sum form.
     """
     t = pl.program_id(0)
+    nprog = pl.num_programs(0)
     start = pl.multiple_of(starts_ref[t], chunk)
     nchunks = counts_ref[t] // chunk
     px, py = _pixel_coords(t, grid_x, tile)
@@ -325,19 +346,23 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
     g_vf = gout_ref[0, ca:ca + cv, :] if cv else None
     g_logt = gout_ref[0, ca + cv:ca + cv + 1, :].T       # [PIX, 1]
     # forward stopped after nchunks_eff chunks (early exit); only those
-    # entered logT_final and produced weights
-    nchunks_eff = meta_ref[0, 2, 0].astype(jnp.int32)
+    # entered logT_final and produced weights.  Passed as a prefetched
+    # scalar array so tile t+1's LAST processed chunk can be prefetched
+    # during tile t (see _fwd_kernel's cross-tile pipelining).
+    nchunks_eff = eff_ref[t]
 
     # double-buffered staging (see _fwd_kernel): slab + g_wsum loads for the
     # next (earlier) chunk are issued before this chunk's compute; d_slab
     # stores drain two iterations later.  ``.wait()`` only consumes the
     # slot's semaphore by the copy's byte count, so reconstructing the
     # descriptor with any same-shape chunk index is a valid drain.
-    def slab_copy(c, slot):
+    def slab_copy_at(s, slot):
         return pltpu.make_async_copy(
-            slab_hbm.at[pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                              chunk), :],
+            slab_hbm.at[pl.ds(pl.multiple_of(s, chunk), chunk), :],
             slab_vmem.at[slot], dma_sem.at[slot])
+
+    def slab_copy(c, slot):
+        return slab_copy_at(start + c * chunk, slot)
 
     def g_copy(c, slot):
         return pltpu.make_async_copy(
@@ -352,16 +377,29 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
                                chunk), :],
             d_sem.at[slot])
 
+    first = 2 + t % 2      # this tile's first-processed-chunk slot
+
+    @pl.when((t == 0) & (nchunks_eff > 0))
+    def _():
+        slab_copy(nchunks_eff - 1, first).start()
+
+    # cross-tile prefetch: tile t+1's last processed chunk
+    @pl.when(t + 1 < nprog)
+    def _():
+        @pl.when(eff_ref[t + 1] > 0)
+        def _():
+            slab_copy_at(starts_ref[t + 1] + (eff_ref[t + 1] - 1) * chunk,
+                         2 + (t + 1) % 2).start()
+
     @pl.when(nchunks_eff > 0)
     def _():
-        slab_copy(nchunks_eff - 1, 0).start()
         if has_gwsum:
             g_copy(nchunks_eff - 1, 0).start()
 
     def body(i, carry):
         logT_after, suf = carry
         c = nchunks_eff - 1 - i
-        slot = i % 2
+        slot = jnp.where(i == 0, first, i % 2)
 
         @pl.when(i + 1 < nchunks_eff)
         def _():
@@ -371,7 +409,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
 
         slab_copy(c, slot).wait()
         if has_gwsum:
-            g_copy(c, slot).wait()
+            g_copy(c, i % 2).wait()   # g rows stay on the 2-slot buffer
 
         slab = slab_vmem[slot].T      # [KR, chunk]
         m = _chunk_math(slab, px, py, chunk)
@@ -386,7 +424,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gout_ref, meta_ref,
         # dL/dw: plain channels + per-instance wsum grads (+ vertex below)
         dw = _dot(g_plain, attrs, ((0,), (0,)))           # [PIX, chunk]
         if has_gwsum:
-            dw += grow_vmem[slot]                         # broadcast [1,chunk]
+            dw += grow_vmem[i % 2]                        # broadcast [1,chunk]
 
         # ---- vertex path ----
         d_du0 = jnp.zeros_like(w)
@@ -526,8 +564,11 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
     kernel = functools.partial(_bwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
                                grid_x=grid_x, tile=tile,
                                has_gwsum=has_gwsum)
+    # per-tile processed-chunk counts (forward early-exit results) as a
+    # prefetched scalar array -> cross-tile first-DMA prefetch in-kernel
+    eff = logt_final[:, 2, 0].astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # slab
@@ -539,11 +580,13 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),           # d_slab
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, kr), jnp.float32),
+            # slots 0/1: steady-state double buffer; 2/3: alternating
+            # cross-tile first-chunk prefetch slots
+            pltpu.VMEM((4, chunk, kr), jnp.float32),
             pltpu.VMEM((2, 1, chunk), jnp.float32),
             pltpu.VMEM((kr, chunk), jnp.float32),
             pltpu.VMEM((2, chunk, kr), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -554,7 +597,7 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_start, tile_count, slab, g_out, logt_final, g_wsum)
+    )(tile_start, tile_count, eff, slab, g_out, logt_final, g_wsum)
     return d_slab
 
 
