@@ -77,24 +77,31 @@ def eval_relighting(out_dir: str, params, alive, env_state: Dict,
     bake_static = {k: v for k, v in bake.items() if k != "exhausted_frac"}
     env_fn = lambda dirs: LT.env_light_direct(env_state, dirs)
 
-    base_color_scale = None
+    # one jitted render shared across views (strip_meta collapses per-camera
+    # static metadata to a single jit cache entry); the identity scale
+    # stands in for "uncalibrated" so the albedo rescale reuses the same
+    # compiled fn.  Eager per-frame dispatch pays full retrace cost on TPU.
+    from svgir_tpu.train.trainer import strip_meta
+
+    @jax.jit
+    def _render(params, alive, bake, cam, bcs):
+        return render_svgss(cam, params, bg, bake=bake, env_params=None,
+                            env_fn=env_fn, opt=OptimizationConfig(),
+                            is_training=False, alive=alive, cfg=raster_cfg,
+                            base_color_scale=bcs)
+
+    base_color_scale = jnp.ones(3)
     rows = []
     os.makedirs(os.path.join(out_dir, light_name), exist_ok=True)
     for idx, cam in enumerate(cameras):
-        res = render_svgss(cam, params, bg, bake=bake_static,
-                           env_params=None, env_fn=env_fn,
-                           opt=OptimizationConfig(), is_training=False,
-                           alive=alive, cfg=raster_cfg,
-                           base_color_scale=base_color_scale)
+        res = _render(params, alive, bake_static, strip_meta(cam),
+                      base_color_scale)
         if idx == 0 and gt_albedo_fn is not None:
             gt_albedo, mask = gt_albedo_fn(0)
             base_color_scale = calibrate_albedo_scale(
                 res["base_color"], gt_albedo, mask)
-            res = render_svgss(cam, params, bg, bake=bake_static,
-                               env_params=None, env_fn=env_fn,
-                               opt=OptimizationConfig(), is_training=False,
-                               alive=alive, cfg=raster_cfg,
-                               base_color_scale=base_color_scale)
+            res = _render(params, alive, bake_static, strip_meta(cam),
+                          base_color_scale)
 
         row = {}
         if cam.image is not None:

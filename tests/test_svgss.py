@@ -117,3 +117,33 @@ def test_radiance_ratio_trains_through_pbr():
     assert abs(float(gp["radiance_ratio"])) > 0
     # radiances themselves see no grad when the consistency loss is off
     assert float(jnp.abs(gp["radiances"]).max()) == 0.0
+
+
+def test_eval_relighting_smoke(tmp_path):
+    """eval_relighting end-to-end: rebake under a light, jitted per-view
+    render, metrics.json summary (eval_relighting_tensoIR.py:35-409)."""
+    from svgir_tpu.eval.relighting import eval_relighting
+
+    state, bake, _ = _stage2_setup()
+    # fixed HDR light (the relighting-eval input), not the learnable env
+    env = LT.env_light_init(
+        np.abs(np.asarray(jax.random.normal(jax.random.PRNGKey(7),
+                                            (16, 32, 3)))) + 0.1)
+    cam = default_camera(32, 32)
+    cam = dataclasses.replace(
+        cam, image=jax.random.uniform(jax.random.PRNGKey(5), (3, 32, 32)),
+        image_mask=jnp.ones((1, 32, 32)))
+
+    def gt_albedo_fn(idx):
+        return (jnp.full((3, 32, 32), 0.5), jnp.ones((1, 32, 32)))
+
+    summary = eval_relighting(
+        str(tmp_path), state["params"], state["alive"], env,
+        [cam, cam], sample_num=8, raster_cfg=CFG,
+        gt_albedo_fn=gt_albedo_fn)
+    assert summary["n_views"] == 2
+    assert np.isfinite(summary["pbr_psnr"])
+    assert np.isfinite(summary["albedo_psnr"])
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path), "env",
+                                       "metrics.json"))
