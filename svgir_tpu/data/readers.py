@@ -254,6 +254,27 @@ def read_colmap_scene(path: str, images_dir: str = "images",
                      normals.astype(np.float32), extent)
 
 
+def camera_to_json(idx: int, cam: Camera) -> dict:
+    """camera_utils.py:87-122 layout (position/rotation are camera-to-world
+    despite the reference's variable naming)."""
+    c2w = np.linalg.inv(np.asarray(cam.world_view))
+    return {"id": idx, "img_name": cam.image_name,
+            "width": int(cam.width), "height": int(cam.height),
+            "position": c2w[:3, 3].tolist(),
+            "rotation": [r.tolist() for r in c2w[:3, :3]],
+            "FoVx": float(cam.fovx), "FoVy": float(cam.fovy)}
+
+
+def dump_cameras_json(out_dir: str, scene: "SceneData") -> str:
+    """Scene.__init__'s cameras.json dump (scene/__init__.py:78-83) — read
+    back by the reference GUI for its initial orbit pose."""
+    cams = list(scene.train_cameras) + list(scene.test_cameras)
+    path = os.path.join(out_dir, "cameras.json")
+    with open(path, "w") as f:
+        json.dump([camera_to_json(i, c) for i, c in enumerate(cams)], f)
+    return path
+
+
 def load_scene(path: str, **kw) -> SceneData:
     """Dataset-type dispatch (scene/__init__.py:46-67)."""
     if os.path.exists(os.path.join(path, "sparse")):

@@ -148,3 +148,24 @@ def test_sfm_scene_reader(tmp_path):
     # dispatch finds it
     scene2 = load_scene(str(tmp_path), eval_split=True)
     assert len(scene2.train_cameras) == 2
+
+
+def test_cameras_json_dump(tmp_path):
+    """cameras.json layout matches scene/__init__.py:78-83 +
+    camera_utils.py:87-122 (position/rotation are camera-to-world)."""
+    from svgir_tpu.data.readers import dump_cameras_json
+
+    _write_blender_scene(str(tmp_path))
+    scene = read_blender_scene(str(tmp_path), white_background=False,
+                               eval_split=False)
+    path = dump_cameras_json(str(tmp_path), scene)
+    with open(path) as f:
+        cams = json.load(f)
+    assert len(cams) == 3
+    c0, cam0 = cams[0], scene.train_cameras[0]
+    assert set(c0) == {"id", "img_name", "width", "height", "position",
+                       "rotation", "FoVx", "FoVy"}
+    c2w = np.linalg.inv(np.asarray(cam0.world_view))
+    np.testing.assert_allclose(c0["position"], c2w[:3, 3], atol=1e-5)
+    np.testing.assert_allclose(np.array(c0["rotation"]), c2w[:3, :3],
+                               atol=1e-5)

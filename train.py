@@ -65,6 +65,8 @@ def main(argv=None):
     print(f"  {len(scene.train_cameras)} train / "
           f"{len(scene.test_cameras)} test cameras, "
           f"extent {scene.cameras_extent:.3f}", flush=True)
+    from svgir_tpu.data.readers import dump_cameras_json
+    dump_cameras_json(out_dir, scene)   # scene/__init__.py:78-83
 
     bg = (1.0, 1.0, 1.0) if model_cfg.white_background else (0.0, 0.0, 0.0)
     is_pbr = args.type == "render_relight"
