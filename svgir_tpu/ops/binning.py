@@ -26,6 +26,28 @@ from svgir_tpu.config import RasterConfig
 from svgir_tpu.ops.preprocess import Preprocessed
 
 
+def prefix_sum(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum of a 1-D int32 array via one MXU triangular
+    matmul over [n/128, 128] rows (XLA's 1-D cumsum runs at the ~0.6 GB/s
+    1-D-op rate on TPU).  Exact for totals < 2^24 (f32 mantissa)."""
+    n = x.shape[0]
+    if n <= 512:
+        return jnp.cumsum(x)
+    npad = (-n) % 128
+    rows = jnp.pad(x, (0, npad)).reshape(-1, 128).astype(jnp.float32)
+    tril = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1))
+    within = jax.lax.dot_general(
+        rows, tril.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)           # [R, 128] inclusive
+    totals = within[:, -1].astype(jnp.int32)
+    offs = jnp.cumsum(totals) - totals                 # [R] — tiny 1-D
+    out = within.astype(jnp.int32) + offs[:, None]
+    return out.reshape(-1)[:n]
+
+
 class BinnedInstances(NamedTuple):
     gaussian_id: jax.Array   # [M] int32 — source Gaussian per sorted instance
     tile_id: jax.Array       # [M] int32 — owning tile (sentinel T for padding)
@@ -63,7 +85,7 @@ def bin_instances(prep: Preprocessed, *, width: int, height: int,
     m = cfg.max_instances
 
     touched = prep.tiles_touched.astype(jnp.int32)
-    offsets = jnp.cumsum(touched) - touched            # exclusive prefix sum
+    offsets = prefix_sum(touched) - touched            # exclusive prefix sum
     total = offsets[-1] + touched[-1]
     overflow = total > m
     total = jnp.minimum(total, m)
@@ -107,7 +129,7 @@ def pad_to_chunks(binned: BinnedInstances, *, chunk: int,
     """
     counts = binned.tile_end - binned.tile_start                    # [T]
     padded_counts = ((counts + chunk - 1) // chunk) * chunk
-    padded_starts = jnp.cumsum(padded_counts) - padded_counts       # exclusive
+    padded_starts = prefix_sum(padded_counts) - padded_counts       # exclusive
     total = padded_starts[-1] + padded_counts[-1]
     overflow = binned.overflow | (total > max_instances)
     total = jnp.minimum(total, max_instances)
@@ -205,7 +227,7 @@ def bin_instances_counting(prep: Preprocessed, *,
     # prefix sum, the per-BLOCK window starts (a tiny searchsorted), one
     # fused carry+start gather, and the slot scatter remain
     touched_p = pad(touched)
-    offsets = jnp.cumsum(touched_p) - touched_p          # exclusive [Ns_p]
+    offsets = prefix_sum(touched_p) - touched_p          # exclusive [Ns_p]
     total_raw = offsets[-1] + touched_p[-1]
     overflow = (total_raw > m) | (total_padded > m)
 

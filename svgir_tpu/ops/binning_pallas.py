@@ -105,7 +105,8 @@ def compute_counts(x0, y0, x1, y1, *, grid_x, grid_y, chunk,
 
     counts = counts[0, :num_tiles]
     padded_counts = ((counts + chunk - 1) // chunk) * chunk
-    tile_start = jnp.cumsum(padded_counts) - padded_counts
+    from svgir_tpu.ops.binning import prefix_sum
+    tile_start = prefix_sum(padded_counts) - padded_counts
     total = tile_start[-1] + padded_counts[-1]
     return tile_start, padded_counts, total, carry_tab.reshape(nchunks, t_pad)
 
