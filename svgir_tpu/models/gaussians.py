@@ -107,13 +107,41 @@ def init_from_points(points: jax.Array, colors: jax.Array,
                      sh_degree: int = 3, use_pbr: bool = False,
                      capacity: Optional[int] = None,
                      mean_sq_dist: Optional[jax.Array] = None,
-                     rotation_init: str = "identity") -> Dict[str, Any]:
+                     rotation_init: str = "identity",
+                     morton_order: bool = False) -> Dict[str, Any]:
     """create_from_pcd (gaussian_model.py:695-735) with padded capacity.
 
     Returns a dict with "params", "alive", and bookkeeping stats arrays.
     ``mean_sq_dist``: mean squared distance to the 3 nearest neighbors
     (simple-knn distCUDA2); computed brute-force if not given.
+    ``morton_order``: sort the input cloud by 30-bit morton code (the
+    spatial ordering simple-knn applies internally, simple_knn.cu) so
+    index-adjacent gaussians stay spatially adjacent — the counting
+    binner's gaussian-chunk windows then touch coherent tile sets.
     """
+    if morton_order:
+        import numpy as _np
+
+        from native.build import morton3d
+        pts_h = _np.asarray(points, _np.float32)
+        lo = pts_h.min(axis=0)
+        ext = _np.maximum(pts_h.max(axis=0) - lo, 1e-12)
+        codes = morton3d(pts_h, lo, 1.0 / ext)
+        if codes is None:      # native lib unavailable: numpy fallback
+            q = _np.clip(((pts_h - lo) / ext) * 1024, 0,
+                         1023).astype(_np.uint64)
+            codes = _np.zeros(len(pts_h), _np.uint64)
+            for axis_i in range(3):
+                v = q[:, axis_i]
+                for bit in range(10):
+                    codes |= ((v >> bit) & 1) << (3 * bit + (2 - axis_i))
+        order = _np.argsort(codes, kind="stable")
+        points = points[order]
+        colors = colors[order]
+        if normals is not None:
+            normals = normals[order]
+        if mean_sq_dist is not None:
+            mean_sq_dist = mean_sq_dist[order]
     n = points.shape[0]
     cap = capacity or _round_capacity(n)
     k = (sh_degree + 1) ** 2

@@ -164,3 +164,27 @@ class TestLosses:
         a = jnp.zeros((3, 8, 8))
         b = jnp.full((3, 8, 8), 0.1)
         assert np.isclose(float(losses.psnr(a, b)), 20.0, atol=1e-4)
+
+
+def test_init_morton_order():
+    """morton_order=True spatially sorts the init cloud (native morton3d
+    with numpy fallback); params are a permutation of the unsorted init."""
+    import jax
+    import jax.numpy as jnp
+
+    from svgir_tpu.models import gaussians as G
+
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (300, 3)) * 4 - 2
+    cols = jax.random.uniform(jax.random.PRNGKey(1), (300, 3))
+    plain = G.init_from_points(pts, cols, capacity=300)
+    sorted_ = G.init_from_points(pts, cols, capacity=300, morton_order=True)
+    a = np.asarray(plain["params"]["xyz"])
+    b = np.asarray(sorted_["params"]["xyz"])
+    # same point set, different order
+    np.testing.assert_allclose(np.sort(a.round(5), axis=0),
+                               np.sort(b.round(5), axis=0), atol=1e-5)
+    assert not np.allclose(a, b)
+    # spatial locality: mean index-adjacent distance shrinks
+    d_plain = np.linalg.norm(np.diff(a, axis=0), axis=1).mean()
+    d_sorted = np.linalg.norm(np.diff(b, axis=0), axis=1).mean()
+    assert d_sorted < 0.6 * d_plain

@@ -91,7 +91,7 @@ def main(argv=None):
         state = G.init_from_points(
             jnp.asarray(scene.points), jnp.asarray(scene.colors),
             normals=jnp.asarray(scene.normals),
-            sh_degree=model_cfg.sh_degree)
+            sh_degree=model_cfg.sh_degree, morton_order=True)
         if is_pbr:
             state = G.upgrade_to_pbr(state)
 
