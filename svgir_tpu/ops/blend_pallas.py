@@ -130,7 +130,7 @@ def _dot(a, b, dims):
 
 def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
                 slab_vmem, wrow_vmem, dma_sem, w_sem,
-                *, chunk, ca, cv, kr, grid_x, tile):
+                *, chunk, ca, cv, kr, grid_x, tile, emit_wsum=True):
     """Double-buffered chunk pipeline: the slab DMA for chunk c+1 is issued
     before chunk c's compute (2-slot VMEM staging), and the per-chunk weight
     row writeback is drained two iterations later — the TPU analog of the
@@ -212,12 +212,13 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
 
         # async weight-row writeback: drain the copy issued two chunks ago
         # on this slot before overwriting its staging buffer
-        @pl.when(c >= 2)
-        def _():
-            w_copy(c - 2, slot).wait()
+        if emit_wsum:
+            @pl.when(c >= 2)
+            def _():
+                w_copy(c - 2, c % 2).wait()
 
-        wrow_vmem[slot] = jnp.sum(w, axis=0, keepdims=True)  # [1, chunk]
-        w_copy(c, slot).start()
+            wrow_vmem[c % 2] = jnp.sum(w, axis=0, keepdims=True)  # [1,chunk]
+            w_copy(c, c % 2).start()
 
         return (logT + jnp.sum(m["loga"], axis=1, keepdims=True),
                 nc + jnp.sum(gate.astype(jnp.float32), axis=1,
@@ -243,30 +244,31 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     def _():
         slab_copy(c_stop, c_stop % 2).wait()
 
-    # zero the weight rows of skipped chunks (their instances blended
-    # nothing; the buffer is uninitialized memory otherwise), continuing
-    # the same slot parity / drain-two-behind discipline
-    def zbody(c, _):
-        slot = c % 2
+    if emit_wsum:
+        # zero the weight rows of skipped chunks (their instances blended
+        # nothing; the buffer is uninitialized memory otherwise), continuing
+        # the same slot parity / drain-two-behind discipline
+        def zbody(c, _):
+            slot = c % 2
 
-        @pl.when(c >= 2)
+            @pl.when(c >= 2)
+            def _():
+                w_copy(c - 2, slot).wait()
+
+            wrow_vmem[slot] = jnp.zeros((1, chunk), jnp.float32)
+            w_copy(c, slot).start()
+            return 0
+
+        jax.lax.fori_loop(c_stop, nchunks, zbody, 0)
+
+        # drain the last two in-flight weight-row copies
+        @pl.when(nchunks >= 1)
         def _():
-            w_copy(c - 2, slot).wait()
+            w_copy(nchunks - 1, (nchunks - 1) % 2).wait()
 
-        wrow_vmem[slot] = jnp.zeros((1, chunk), jnp.float32)
-        w_copy(c, slot).start()
-        return 0
-
-    jax.lax.fori_loop(c_stop, nchunks, zbody, 0)
-
-    # drain the last two in-flight weight-row copies
-    @pl.when(nchunks >= 1)
-    def _():
-        w_copy(nchunks - 1, (nchunks - 1) % 2).wait()
-
-    @pl.when(nchunks >= 2)
-    def _():
-        w_copy(nchunks - 2, (nchunks - 2) % 2).wait()
+        @pl.when(nchunks >= 2)
+        def _():
+            w_copy(nchunks - 2, (nchunks - 2) % 2).wait()
 
     out_ref[0, ca + cv:ca + cv + 1, :] = logT.T
     out_ref[0, ca + cv + 1:ca + cv + 2, :] = nc.T
@@ -277,15 +279,21 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
 def blend_forward(slab: jax.Array, tile_start: jax.Array,
                   tile_count: jax.Array, *, ca: int, cv: int,
                   num_tiles: int, grid_x: int, tile: int = 16,
-                  chunk: int = 128, interpret: bool = False):
+                  chunk: int = 128, interpret: bool = False,
+                  emit_wsum: bool = True):
     """Run the forward blend.  ``slab`` is ROW-major [M, KR] (instance rows)
     so the producing gather writes contiguously; chunks are transposed to
     [KR, chunk] inside the kernel.  Returns (out [T, CA+CV+3, 256] —
     channel-major: plain accums, vertex accums, final logT, n_contrib,
-    chunks-processed — and wsum [1, M])."""
+    chunks-processed — and wsum [1, M]).
+
+    ``emit_wsum=False`` skips the per-chunk weight-row writebacks entirely
+    (the wsum buffer is returned uninitialized — callers that don't need
+    per-gaussian weights also skip their reduce)."""
     m, kr = slab.shape
     kernel = functools.partial(_fwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
-                               grid_x=grid_x, tile=tile)
+                               grid_x=grid_x, tile=tile,
+                               emit_wsum=emit_wsum)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -503,13 +511,14 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
                     _dot(g_vf, w * wv[vtx], ((1,), (0,)))
 
         # drain the store issued two iterations ago on this slot before
-        # overwriting its staging buffer
+        # overwriting its staging buffer (the d staging is its own 2-slot
+        # buffer keyed by i%2 — NOT the 4-slot slab `slot`)
         @pl.when(i >= 2)
         def _():
-            d_copy(c, slot).wait()
+            d_copy(c, i % 2).wait()
 
-        dslab_rows[slot] = dslab_vmem[:, :].T      # [chunk, KR]
-        d_copy(c, slot).start()
+        dslab_rows[i % 2] = dslab_vmem[:, :].T     # [chunk, KR]
+        d_copy(c, i % 2).start()
 
         new_logT = logT_after - jnp.sum(m["loga"], axis=1, keepdims=True)
         new_suf = suf + jnp.sum(s_term, axis=1, keepdims=True)

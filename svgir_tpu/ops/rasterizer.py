@@ -67,7 +67,7 @@ def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret,
 
 @functools.lru_cache(maxsize=None)
 def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
-                       interpret, wgrad=True):
+                       interpret, wgrad=True, need_weights=True):
     """Blend wrapper for the counting binner: the custom-VJP boundary covers
     instance gather + kernel, and the backward reduces per-instance
     gradients to per-gaussian rows with one scatter-add over the instances'
@@ -99,22 +99,28 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         out = jnp.zeros((n + 1,) + x_inst.shape[1:], x_inst.dtype)
         return out.at[_safe_idx(gid)].add(x_inst)
 
+    def _fwd_weights(wsum, gid):
+        # per-gaussian blend-weight sums (out_weights, forward.cu:653) feed
+        # densification stats only; callers that never densify skip the
+        # in-kernel writebacks AND this [M]->[N] scatter
+        if not need_weights:
+            return jnp.zeros((n,), jnp.float32)
+        return _scatter_reduce_ext(wsum[0], gid)[:n]
+
     @jax.custom_vjp
     def blend(slab_rows, gid, tile_start, tile_count):
         slab = _instance_slab(slab_rows, gid)
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
-                                               **kw)
-        weights = _scatter_reduce_ext(wsum[0], gid)[:n]
-        return out, weights
+                                               emit_wsum=need_weights, **kw)
+        return out, _fwd_weights(wsum, gid)
 
     def blend_fwd(slab_rows, gid, tile_start, tile_count):
         slab = _instance_slab(slab_rows, gid)
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
-                                               **kw)
-        weights = _scatter_reduce_ext(wsum[0], gid)[:n]
+                                               emit_wsum=need_weights, **kw)
         meta = out[:, ca + cv:ca + cv + 3, :]
         res = (slab_rows, gid, tile_start, tile_count, meta)
-        return (out, weights), res
+        return (out, _fwd_weights(wsum, gid)), res
 
     def blend_bwd(res, cotangents):
         (slab_rows, gid, tile_start, tile_count, logt) = res
@@ -220,6 +226,7 @@ def rasterize(
     cfg: RasterConfig = RasterConfig(),
     interpret: Optional[bool] = None,
     weights_grad: bool = True,
+    need_weights: bool = True,
 ) -> RenderBuffers:
     """Differentiable surfel rasterization for one camera.
 
@@ -269,7 +276,8 @@ def rasterize(
         slab_ext = jnp.pad(slab_g, ((0, 1), (0, 0)))
         blend = _make_blend_gather(ca, cv, num_tiles, grid_x, tile,
                                    cfg.chunk, n, cfg.max_instances,
-                                   cfg.rect_cap, interpret, weights_grad)
+                                   cfg.rect_cap, interpret, weights_grad,
+                                   need_weights)
         out, weights = blend(slab_ext, padded.gaussian_id,
                              padded.tile_start, padded.tile_count)
     else:

@@ -86,13 +86,16 @@ def render_view_svgss(camera, params, bake: Dict, env_params, bg: jax.Array,
             [pbr, base_color, nrm_view, roughness, extra["direct"],
              extra["indirect"]], axis=-1)                        # VS=64
 
-    # weights_grad=False: weights only feed densification stats (no loss
-    # term), matching the reference's non-differentiable out_weights buffer
+    # weights_grad/need_weights False: per-gaussian weight sums only feed
+    # densification stats, and stage 2 never densifies (densify_until_iter
+    # 15k < first_iter 30k, run_tensoir.sh) — skip the in-kernel wsum
+    # writebacks and the [M]->[N] scatter entirely
     bufs = rasterize(xyz, G.get_scaling(params), G.get_rotation(params),
                      opacity, camera, bg, shs=G.get_shs(params),
                      sh_degree=sh_degree, features=features,
                      vfeatures=vfeatures, mean2d_offset=mean2d_offset,
-                     cfg=cfg, mask=alive, weights_grad=False)
+                     cfg=cfg, mask=alive, weights_grad=False,
+                     need_weights=False)
 
     opac = bufs.opacity
     feat = bufs.feature / jnp.clip(opac, min=1e-5)
