@@ -73,6 +73,40 @@ class TestTiledVsDense:
         dense, tiled = _run_both(scene, cam, bg)
         np.testing.assert_allclose(tiled.color, dense.color, atol=5e-5)
 
+    def test_early_exit_multichunk(self):
+        """>4 chunks of near-opaque splats per tile: the early exit fires
+        mid-loop, exercising the skipped-chunk zero-fill + cross-tile
+        prefetch drains (fwd) and the nchunks_eff-bounded reverse sweep
+        (bwd) against the dense oracle."""
+        scene = sphere_scene(jax.random.PRNGKey(9), n=600, scale=0.5,
+                             opacity_range=(0.90, 0.99))
+        cam = default_camera(32, 32)
+        bg = jnp.array([0.2, 0.3, 0.4])
+        cfg = RasterConfig(max_instances=1 << 13)
+        dense = render_dense(
+            _prep(scene, cam), scene["opacity"], None, None, bg,
+            width=cam.width, height=cam.height)
+        def loss(means):
+            b = rasterize(means, scene["scales"], scene["quats"],
+                          scene["opacity"], cam, bg, colors=scene["colors"],
+                          cfg=cfg, interpret=True)
+            return jnp.square(b.color).sum(), b
+        (lv, tiled), g = jax.value_and_grad(loss, has_aux=True)(
+            scene["means"])
+        assert not bool(tiled.overflow)
+        np.testing.assert_allclose(tiled.color, dense.color, atol=5e-5)
+        assert bool(jnp.isfinite(g).all())
+
+        def loss_dense(means):
+            p = _prep({**scene, "means": means}, cam)
+            return jnp.square(render_dense(
+                p, scene["opacity"], None, None, bg,
+                width=cam.width, height=cam.height).color).sum()
+        gd = jax.grad(loss_dense)(scene["means"])
+        scale = float(jnp.abs(gd).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(g) / scale,
+                                   np.asarray(gd) / scale, atol=1e-3)
+
 
 class TestVJP:
     def test_grads_match_dense_autodiff(self):
