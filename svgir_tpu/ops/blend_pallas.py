@@ -204,11 +204,17 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
         if cv:
             wv = ((1 - m["u"]) * (1 - m["v"]), m["u"] * (1 - m["v"]),
                   (1 - m["u"]) * m["v"], m["u"] * m["v"])
-            acc_vf = jnp.zeros((cv, PIX), jnp.float32)
-            for vtx in range(4):
-                va = slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-                acc_vf += _dot(va, w * wv[vtx], ((1,), (1,)))
-            out_ref[0, ca:ca + cv, :] += acc_vf
+            # one [CV, 4*chunk] x [4*chunk, PIX] contraction instead of four
+            # K=chunk matmuls: vertex blocks concatenated on lanes (cheap
+            # tile-aligned relayout), per-vertex weights folded into the
+            # stacked weight matrix — the kernel is issue-bound, not
+            # FLOP-bound, so fewer/larger MXU ops win
+            va4 = jnp.concatenate(
+                [slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+                 for vtx in range(4)], axis=1)            # [CV, 4*chunk]
+            w4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)],
+                                 axis=1)                  # [PIX, 4*chunk]
+            out_ref[0, ca:ca + cv, :] += _dot(va4, w4, ((1,), (1,)))
 
         # async weight-row writeback: drain the copy issued two chunks ago
         # on this slot before overwriting its staging buffer
@@ -441,10 +447,13 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
         d_lamy_row = jnp.zeros((1, chunk), jnp.float32)
         if cv:
             u, v = m["u"], m["v"]
-            mv = [None] * 4
-            for vtx in range(4):
-                va = slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-                mv[vtx] = _dot(g_vf, va, ((0,), (0,)))    # [PIX, chunk]
+            # fused [CV, PIX]^T x [CV, 4*chunk] -> [PIX, 4*chunk]: one MXU op
+            # for all four per-vertex cotangent projections (see _fwd_kernel)
+            va4 = jnp.concatenate(
+                [slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+                 for vtx in range(4)], axis=1)            # [CV, 4*chunk]
+            mv4 = _dot(g_vf, va4, ((0,), (0,)))           # [PIX, 4*chunk]
+            mv = [mv4[:, vtx * chunk:(vtx + 1) * chunk] for vtx in range(4)]
             wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
             dw += sum(wv[k] * mv[k] for k in range(4))
             d_u = w * ((1 - v) * (mv[1] - mv[0]) + v * (mv[3] - mv[2]))
@@ -506,9 +515,14 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
         if cv:
             u, v = m["u"], m["v"]
             wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
+            # fused: one [CV, PIX] x [PIX, 4*chunk] matmul, then four
+            # lane-aligned slice writes into the v-major d_slab rows
+            wv4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)],
+                                  axis=1)                 # [PIX, 4*chunk]
+            dvf4 = _dot(g_vf, wv4, ((1,), (0,)))          # [CV, 4*chunk]
             for vtx in range(4):
                 dslab_vmem[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :] = \
-                    _dot(g_vf, w * wv[vtx], ((1,), (0,)))
+                    dvf4[:, vtx * chunk:(vtx + 1) * chunk]
 
         # drain the store issued two iterations ago on this slot before
         # overwriting its staging buffer (the d staging is its own 2-slot
