@@ -119,13 +119,15 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                emit_wsum=need_weights, **kw)
         meta = out[:, ca + cv:ca + cv + 3, :]
-        res = (slab_rows, gid, tile_start, tile_count, meta)
+        # residual is the GATHERED slab, not (slab_rows, gid)-to-regather:
+        # the [M, KR] row gather runs at ~64 GB/s (8x tile-read
+        # amplification) and would cost a second ~4 ms pass in the backward
+        res = (slab, gid, tile_start, tile_count, meta)
         return (out, _fwd_weights(wsum, gid)), res
 
     def blend_bwd(res, cotangents):
-        (slab_rows, gid, tile_start, tile_count, logt) = res
+        (slab, gid, tile_start, tile_count, logt) = res
         g_out, g_weights = cotangents
-        slab = _instance_slab(slab_rows, gid)
         if wgrad:
             # per-instance wsum cotangent = its gaussian's weights cotangent
             g_ext = jnp.concatenate([g_weights, jnp.zeros((1,))])
