@@ -43,7 +43,10 @@ def build():
     # 7<<16 = 458752 leaves 1.33x headroom and is overflow-checked below).
     # The v3 counting binner duplicates unboundedly (exact CUDA semantics)
     # — no per-splat tile cap to tune.
-    cfg = RasterConfig(max_instances=7 << 16, chunk=128)
+    import os
+    cfg = RasterConfig(
+        max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
+        chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)))
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 4)

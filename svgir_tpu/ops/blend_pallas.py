@@ -115,13 +115,21 @@ def _tri_lower_incl(g):
     return (i >= j).astype(jnp.float32)
 
 
+_PRECISION = {
+    # HIGHEST (bf16_6x) reproduces full f32; HIGH (bf16_3x, ~2x faster MXU)
+    # carries ~1e-6 relative error — far below the 1e-4 parity bar for both
+    # the log-transmittance prefix and the attribute accumulations.
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[__import__("os").environ.get("SVGIR_MXU_PRECISION", "highest").lower()]
+
+
 def _dot(a, b, dims):
-    # HIGHEST: the MXU otherwise decomposes f32 into bf16 passes; the
-    # log-transmittance prefix sum is exponentiated downstream and the
-    # attribute accumulations feed image losses, so both need full f32.
+    # never DEFAULT: a single bf16 pass (~0.4% error) visibly corrupts the
+    # exponentiated transmittance chain.
     return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_PRECISION)
 
 
 # ---------------------------------------------------------------------------
