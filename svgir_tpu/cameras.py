@@ -73,6 +73,20 @@ class Camera:
     def focal_y(self) -> float:
         return fov2focal(self.fovy, self.height)
 
+    def random_patch(self, key: jax.Array,
+                     h_size: Optional[int] = None,
+                     w_size: Optional[int] = None) -> jax.Array:
+        """Random patch bbox [y0, x0, y1, x1] f32 for patch-restricted
+        rasterization (reference cameras.py:144-153; consumed by
+        ``preprocess(..., patch_bbox=...)`` which expands it 20% for
+        frustum culling like auxiliary.h:158-161)."""
+        h = self.height if h_size is None else min(h_size, self.height)
+        w = self.width if w_size is None else min(w_size, self.width)
+        ky, kx = jax.random.split(key)
+        y0 = jax.random.randint(ky, (), 0, self.height - h + 1)
+        x0 = jax.random.randint(kx, (), 0, self.width - w + 1)
+        return jnp.stack([y0, x0, y0 + h, x0 + w]).astype(jnp.float32)
+
     def world_directions(self) -> jax.Array:
         """Unit world-space ray directions per pixel, [3, H, W]
         (cameras.py:96-108)."""
