@@ -43,7 +43,13 @@ def build():
     from svgir_tpu.utils.graphics import fibonacci_sphere_sampling
     from svgir_tpu.utils.transforms import normalize
 
-    cfg = RasterConfig(max_instances=1 << 19, chunk=128)
+    # identical scene + camera to bench.py, whose overflow probe measures
+    # 345600 instances: the same snug cap applies (every instance-space
+    # gather/scatter/kernel pass scales with the static cap, not the count)
+    import os
+    cfg = RasterConfig(
+        max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
+        chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)))
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 10)
