@@ -38,15 +38,19 @@ def make_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
                     bg, *, sh_degree: int = 3,
                     render_fn: Callable = render_stage1,
                     lrs: Optional[Dict[str, float]] = None,
-                    extra_args_fn=None):
+                    extra_args_fn=None, donate: bool = False):
     """Build the jitted stage-1 train step.
 
     Returns step(state, opt_state, camera, iteration, xyz_lr)
       -> (state, opt_state, tb_dict)
+
+    ``donate=True`` donates (state, opt_state) to XLA (in-place update —
+    halves their HBM footprint at 1M-gaussian scale); callers must then
+    drop the old references, as the training loops do.
     """
     bg = jnp.asarray(bg)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(state, opt_state, camera, iteration, xyz_lr):
         params, alive, stats = state["params"], state["alive"], state["stats"]
         cap = alive.shape[0]
@@ -165,7 +169,7 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
     if opt_state is None:
         opt_state = optim.adam_init(state["params"])
     step_fn = make_train_step(opt, raster_cfg, bg, sh_degree=sh_degree,
-                              lrs=lrs)
+                              lrs=lrs, donate=True)
     densify_fn = jax.jit(
         partial(G.densify_and_prune,
                 max_grad=opt.densify_grad_threshold, min_opacity=0.005,
@@ -252,7 +256,8 @@ def _warn_overflow(entry, tb, it):
 
 def make_svgss_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
                           bg, *, sh_degree: int = 3,
-                          lrs: Optional[Dict[str, float]] = None):
+                          lrs: Optional[Dict[str, float]] = None,
+                          donate: bool = False):
     """Jitted stage-2 (render_relight) train step.
 
     step(state, opt_state, env_state, bake, camera, iteration, xyz_lr,
@@ -267,7 +272,8 @@ def make_svgss_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
 
     bg = jnp.asarray(bg)
 
-    @jax.jit
+    # bake/camera are NOT donated: callers reuse them across steps
+    @partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def step(state, opt_state, env_state, bake, camera, iteration, xyz_lr,
              radiance_lr, lls_weight):
         params, alive, stats = state["params"], state["alive"], state["stats"]
@@ -348,7 +354,8 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
     if opt_state is None:
         opt_state = optim.adam_init(params)
     step_fn = make_svgss_train_step(opt, raster_cfg, bg,
-                                    sh_degree=sh_degree, lrs=lrs)
+                                    sh_degree=sh_degree, lrs=lrs,
+                                    donate=True)
     xyz_sched = get_expon_lr_fn(
         lr_init=opt.position_lr_init * spatial_lr_scale,
         lr_final=opt.position_lr_final * spatial_lr_scale,
