@@ -73,11 +73,14 @@ def main():
         bp._PRECISION = jax.lax.Precision.HIGHEST
 
     if "3" in steps:
-        log("== 3. stage-1 chunk=256 (HIGHEST)")
+        # chunk trades per-tile padding (VPU work scales with padded total)
+        # against loop iterations (padded/chunk) — resolve empirically
         import os
-        os.environ["SVGIR_BENCH_CHUNK"] = "256"
-        step, args, ready = stage1_step()
-        time_step(step, args, ready=ready)
+        for ch in ("256", "64"):
+            log(f"== 3. stage-1 chunk={ch} (HIGHEST)")
+            os.environ["SVGIR_BENCH_CHUNK"] = ch
+            step, args, ready = stage1_step()
+            time_step(step, args, ready=ready)
         del os.environ["SVGIR_BENCH_CHUNK"]
 
     if "4" in steps:
