@@ -6,6 +6,11 @@ these defaults *are* the trained recipe and must not drift.  Instead of
 reflecting class attributes into argparse at runtime, we use frozen
 dataclasses plus an explicit ``add_to_parser``/``from_args`` bridge, which is
 both introspectable and jit-friendly (configs are static pytree leaves).
+
+Intentionally absent reference flags (CUDA/torch-specific, no JAX meaning):
+``data_device`` (JAX manages placement), ``compute_SHs_python`` /
+``compute_cov3D_python`` (SH + covariance are always traced JAX here — the
+flags exist in the reference only to bypass its CUDA kernels for debugging).
 """
 
 from __future__ import annotations
