@@ -56,7 +56,7 @@ def stage1_step():
 
 
 def main():
-    steps = set(sys.argv[1:]) or {"1", "2", "3", "4", "5"}
+    steps = set(sys.argv[1:]) or {"1", "2", "3", "4", "6", "5"}
     log("devices:", jax.devices())
     import svgir_tpu.ops.blend_pallas as bp
 
@@ -88,6 +88,22 @@ def main():
         import bench_stage2
         s2, a2 = bench_stage2.build()
         time_step(s2, a2, rounds=3, ready=lambda out: out[-1]["loss"])
+
+    if "6" in steps:
+        log("== 6. env-lookup microbench (1.2M queries, fwd+bwd)")
+        import jax.numpy as jnp
+        from svgir_tpu.models import lights as LT
+        k = jax.random.split(jax.random.PRNGKey(0), 2)
+        env_state = LT.direct_light_map_init(k[0], h=32, light_init=3.0)
+        dirs = jax.random.normal(k[1], (50_000, 24, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+        def f(p):
+            return jnp.sum(LT.direct_light(p, dirs) ** 2)
+
+        stepe = jax.jit(jax.value_and_grad(f))
+        time_step(stepe, (env_state["params"],),
+                  ready=lambda out: out[0])
 
     if "5" in steps:
         log("== 5. trace profiles")
