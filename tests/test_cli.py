@@ -1,0 +1,46 @@
+"""End-to-end CLI smoke: train.py main() over an on-disk Blender scene.
+
+Covers the glue the trainer tests bypass: dataset dispatch + random-PLY
+bootstrap, cfg_args dump, cameras.json, logger callbacks, end-of-run
+checkpoint + PLY export (reference train.py:28-249 orchestration).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from tests.test_data import _write_blender_scene
+
+
+def test_train_cli_stage1(tmp_path):
+    import train as train_cli
+    from svgir_tpu.data.readers import store_pointcloud
+
+    root = str(tmp_path / "scene")
+    _write_blender_scene(root, n_frames=3, res=32)
+
+    # small init cloud (the reader would otherwise bootstrap 100k points)
+    rng = np.random.default_rng(1)
+    xyz = rng.random((300, 3)) * 2.0 - 1.0
+    rgb = rng.random((300, 3)) * 255
+    nrm = rng.standard_normal((300, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    store_pointcloud(os.path.join(root, "points3d.ply"), xyz, rgb, nrm)
+
+    out = str(tmp_path / "out")
+    train_cli.main([
+        "-s", root, "-m", out, "--iterations", "8",
+        "--max_instances", "4096", "--position_lr_max_steps", "8",
+    ])
+
+    assert os.path.exists(os.path.join(out, "cfg_args.json"))
+    assert os.path.exists(os.path.join(out, "cameras.json"))
+    assert os.path.exists(os.path.join(out, "chkpnt8.npz"))
+    assert os.path.exists(os.path.join(out, "point_cloud.ply"))
+    log = [json.loads(l) for l in
+           open(os.path.join(out, "train_log.jsonl"))]
+    assert log and np.isfinite(log[-1]["loss"])
