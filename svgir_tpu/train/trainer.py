@@ -341,7 +341,9 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
     bake_static = {k: v for k, v in bake.items() if k != "exhausted_frac"}
 
     if "radiances" not in params or params["radiances"].shape[1] != sample_num:
-        params["radiances"] = bake["radiance"]
+        # COPY, not alias: state is donated every step, and an aliased
+        # buffer would leave bake_static["radiance"] deleted after step 1
+        params["radiances"] = jnp.array(bake["radiance"])
         params["radiance_ratio"] = jnp.ones(())
     state = {**state, "params": params}
 

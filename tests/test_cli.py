@@ -44,3 +44,19 @@ def test_train_cli_stage1(tmp_path):
     log = [json.loads(l) for l in
            open(os.path.join(out, "train_log.jsonl"))]
     assert log and np.isfinite(log[-1]["loss"])
+
+    # stage 2 resumes the stage-1 checkpoint (upgrade-to-PBR path:
+    # train.py -t render_relight -c chkpnt*, reference run_tensoir.sh:20-42)
+    out2 = str(tmp_path / "out2")
+    train_cli.main([
+        "-s", root, "-m", out2, "-t", "render_relight",
+        "-c", os.path.join(out, "chkpnt8.npz"),
+        "--iterations", "14", "--max_instances", "4096",
+        "--sample_num", "4", "--env_resolution", "16",
+        "--position_lr_max_steps", "14",
+    ])
+    assert os.path.exists(os.path.join(out2, "chkpnt14.npz"))
+    assert os.path.exists(os.path.join(out2, "point_cloud.ply"))
+    log2 = [json.loads(l) for l in
+            open(os.path.join(out2, "train_log.jsonl"))]
+    assert log2 and np.isfinite(log2[-1]["loss"])
