@@ -45,6 +45,16 @@ def test_train_cli_stage1(tmp_path):
            open(os.path.join(out, "train_log.jsonl"))]
     assert log and np.isfinite(log[-1]["loss"])
 
+    # NVS eval CLI over the stage-1 output (reference eval_nvs.py flow);
+    # this toy scene has no test split, so evaluate the train views
+    import eval_nvs
+    eval_nvs.main([
+        "-s", root, "-m", out, "-c", os.path.join(out, "chkpnt8.npz"),
+        "--max_instances", "4096", "--eval_scale", "1",
+    ])
+    train_eval = os.path.join(out, "eval", "train")
+    assert os.path.isdir(train_eval) and os.listdir(train_eval)
+
     # stage 2 resumes the stage-1 checkpoint (upgrade-to-PBR path:
     # train.py -t render_relight -c chkpnt*, reference run_tensoir.sh:20-42)
     out2 = str(tmp_path / "out2")
