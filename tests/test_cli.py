@@ -70,3 +70,21 @@ def test_train_cli_stage1(tmp_path):
     log2 = [json.loads(l) for l in
             open(os.path.join(out2, "train_log.jsonl"))]
     assert log2 and np.isfinite(log2[-1]["loss"])
+
+    # relighting CLI: composition PLY + HDR env + 2-frame orbit
+    import imageio.v2 as imageio
+    import relighting
+    hdr = str(tmp_path / "env.png")
+    imageio.imwrite(hdr, (np.random.default_rng(0)
+                          .random((8, 16, 3)) * 255).astype(np.uint8))
+    rel_out = str(tmp_path / "relight")
+    relighting.main([
+        "--config", os.path.join(out2, "point_cloud.ply"), "--hdr", hdr,
+        "--output", rel_out, "--frames", "2", "--resolution", "32",
+        "--sample_num", "2", "--max_instances", "4096",
+    ])
+    assert os.path.exists(os.path.join(rel_out, "00001.png"))
+
+    # normal_eval CLI over the relight frames (self-MAE == 0)
+    import normal_eval
+    normal_eval.main(["--pred_dir", rel_out, "--gt_dir", rel_out])
