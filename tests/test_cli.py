@@ -88,3 +88,13 @@ def test_train_cli_stage1(tmp_path):
     # normal_eval CLI over the relight frames (self-MAE == 0)
     import normal_eval
     normal_eval.main(["--pred_dir", rel_out, "--gt_dir", rel_out])
+
+    # GUI viewer in headless orbit-sweep mode over the stage-2 checkpoint
+    import gui
+    gui_out = str(tmp_path / "gui")
+    gui.main([
+        "-c", os.path.join(out2, "chkpnt14.npz"), "--headless",
+        "--output", gui_out, "--frames", "2", "--resolution", "32",
+        "--sample_num", "2", "--max_instances", "4096",
+    ])
+    assert os.listdir(gui_out)
