@@ -56,9 +56,58 @@ def stage1_step():
 
 
 def main():
-    steps = set(sys.argv[1:]) or {"1", "2", "3", "4", "6", "5"}
+    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "4", "6", "5"}
     log("devices:", jax.devices())
     import svgir_tpu.ops.blend_pallas as bp
+
+    if "0" in steps:
+        log("== 0. on-TPU correctness smoke: tiled Pallas vs dense oracle")
+        import math
+        import numpy as np
+        import jax.numpy as jnp
+        from svgir_tpu.cameras import look_at_camera
+        from svgir_tpu.config import RasterConfig
+        from svgir_tpu.ops.dense_ref import render_dense
+        from svgir_tpu.ops.preprocess import preprocess
+        from svgir_tpu.ops.rasterizer import rasterize
+
+        H = W = 64
+        cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
+                             fovx=math.pi / 3, fovy=math.pi / 3,
+                             width=W, height=H)
+        k = jax.random.split(jax.random.PRNGKey(3), 6)
+        n = 40
+        means = jax.random.uniform(k[0], (n, 3), minval=-0.8,
+                                   maxval=0.8).at[:, 2].mul(0.3)
+        quats = jax.random.normal(k[1], (n, 4))
+        quats /= jnp.linalg.norm(quats, axis=1, keepdims=True)
+        scales = jnp.concatenate(
+            [0.05 + 0.25 * jax.random.uniform(k[2], (n, 2)),
+             jnp.zeros((n, 1))], 1)
+        op = 0.4 + 0.55 * jax.random.uniform(k[3], (n,))
+        cols = jax.random.uniform(k[4], (n, 3))
+        vf = jax.random.uniform(k[5], (n, 8))
+        cfg = RasterConfig(max_instances=1 << 12, chunk=128)
+        bufs = rasterize(means, scales, quats, op, cam, jnp.zeros(3),
+                         colors=cols, vfeatures=vf, cfg=cfg, interpret=False)
+        prep = preprocess(means, scales, quats, cam.world_view,
+                          cam.full_proj, cam.camera_center, width=W,
+                          height=H, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+                          focal_x=cam.focal_x, focal_y=cam.focal_y,
+                          colors=cols)
+        dref = render_dense(prep, op, None, vf, jnp.zeros(3),
+                            width=W, height=H)
+        for name in ("color", "vfeature", "opacity", "depth"):
+            d = np.abs(np.array(getattr(bufs, name))
+                       - np.array(getattr(dref, name))).max()
+            log(f"  {name}: maxdiff {d:.2e}")
+            assert d < 5e-4, (name, d)
+
+        g = jax.grad(lambda o: jnp.sum(rasterize(
+            means, scales, quats, o, cam, jnp.zeros(3), colors=cols,
+            vfeatures=vf, cfg=cfg, interpret=False).color ** 2))(op)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        log(f"  grad norm {float(jnp.linalg.norm(g)):.3f}  SMOKE PASS")
 
     if "1" in steps:
         log("== 1. stage-1 baseline (chunk=128, HIGHEST)")
