@@ -148,26 +148,47 @@ def irradiance_sample(sample_idx: jax.Array, bake: Dict, env_term: jax.Array,
     no_hit = hit < 0
     h = jnp.clip(hit, 0, n - 1)
 
-    sec_dirs = normalize(bake["incident_dirs"][h])           # [N,S,3]
-    sec_hit = bake["hit_idx"][h]                             # [N,S]
+    # ONE wide row gather by first-hit index instead of seven narrow ones:
+    # [N, ~9S+25] rows gather near memory bandwidth where 12-288 B rows pay
+    # up to 42x (8,128)-tile read amplification; the VJP likewise becomes a
+    # single scatter-add (gradients flow to albedo / env_term through it)
+    table = jnp.concatenate([
+        bake["incident_dirs"].reshape(n, -1),                # 3S
+        bake["hit_idx"].astype(jnp.float32),                 # S (exact i32)
+        bake["uv"].reshape(n, -1),                           # 2S
+        env_term.reshape(n, -1),                             # 3S
+        jax.lax.stop_gradient(vertex_normals).reshape(n, -1),  # 12
+        vertex_albedo.reshape(n, -1),                        # 12
+        roughness[:, None],                                  # 1
+    ], axis=1)
+    g = table[h]
+    o = 0
+    def take(cols, shape):
+        nonlocal o
+        v = g[:, o:o + cols].reshape((n,) + shape)
+        o += cols
+        return v
+    sec_dirs = normalize(take(3 * s, (s, 3)))                # [N,S,3]
+    sec_hit = take(s, (s,))
     unoccluded = sec_hit < 0
-    uv = bake["uv"][h]                                       # [N,S,2]
+    uv = take(2 * s, (s, 2))                                 # [N,S,2]
+    env_term_h = take(3 * s, (s, 3))                         # [N,S,3]
+    normals_h = take(12, (4, 3))                             # [N,4,3]
+    albedo_h = take(12, (4, 3))                              # [N,4,3]
+    rough_h = take(1, (1, 1, 1))                             # [N,1,1,1]
+
     w0 = (1 - uv[..., 0]) * (1 - uv[..., 1])
     w1 = uv[..., 0] * (1 - uv[..., 1])
     w2 = (1 - uv[..., 0]) * uv[..., 1]
     w3 = uv[..., 0] * uv[..., 1]
     wv = jnp.stack([w0, w1, w2, w3], -1)                     # [N,S,4]
 
-    normals_h = jax.lax.stop_gradient(vertex_normals[h])     # [N,4,3]
-    albedo_h = vertex_albedo[h]                              # [N,4,3]
-    rough_h = roughness[h][:, None, None, None]              # [N,1,1,1]
-
     irr_v = shading_brdf_simple(
         -pri_dir[:, None, None], sec_dirs[:, :, None],
         normals_h[:, None], albedo_h[:, None], rough_h)      # [N,S,4,3]
     irr = jnp.sum(wv[..., None] * irr_v, axis=2)             # [N,S,3]
 
-    contrib = irr * env_term[h] / s                          # [N,S,3]
+    contrib = irr * env_term_h / s                           # [N,S,3]
     contrib = jnp.where(unoccluded[..., None], contrib, 0.0)
     total = contrib.sum(axis=1)
     return jnp.where(no_hit[:, None], 0.0, total)
