@@ -20,18 +20,40 @@ from svgir_tpu.train import optim
 
 def _bilinear_lookup(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     """align_corners=True bilinear sample. img [H, W, C]; u, v in pixel
-    coords ([0, W-1] / [0, H-1]); out [..., C]."""
+    coords ([0, W-1] / [0, H-1]); out [..., C].
+
+    ONE ``lax.gather`` of 2x2xC patches instead of four scalar-indexed
+    gathers (and one scatter-add instead of four in the VJP) — per-gather
+    overhead dominates on TPU for tiny-row lookups.  Edge handling: the
+    patch start is clamped to H-2/W-2; when the floor cell sits on the last
+    row/column the fractional weight collapses onto the second patch texel
+    (off == 1 -> weight 1), reproducing the clamped-corner duplication of
+    the four-gather form exactly."""
     h, w = img.shape[0], img.shape[1]
+    c = img.shape[2]
     u0 = jnp.clip(jnp.floor(u), 0, w - 1)
     v0 = jnp.clip(jnp.floor(v), 0, h - 1)
-    u1 = jnp.clip(u0 + 1, 0, w - 1)
-    v1 = jnp.clip(v0 + 1, 0, h - 1)
-    fu = jnp.clip(u - u0, 0.0, 1.0)[..., None]
-    fv = jnp.clip(v - v0, 0.0, 1.0)[..., None]
-    u0i, u1i, v0i, v1i = (x.astype(jnp.int32) for x in (u0, u1, v0, v1))
-    top = img[v0i, u0i] * (1 - fu) + img[v0i, u1i] * fu
-    bot = img[v1i, u0i] * (1 - fu) + img[v1i, u1i] * fu
-    return top * (1 - fv) + bot * fv
+    fu = jnp.clip(u - u0, 0.0, 1.0)
+    fv = jnp.clip(v - v0, 0.0, 1.0)
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    su = jnp.minimum(u0i, w - 2)
+    sv = jnp.minimum(v0i, h - 2)
+
+    idx = jnp.stack([sv, su], axis=-1)                       # [..., 2]
+    nb = idx.ndim - 1
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(nb, nb + 1, nb + 2), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    patch = jax.lax.gather(img, idx, dn, slice_sizes=(2, 2, c),
+                           mode=jax.lax.GatherScatterMode.CLIP)  # [...,2,2,C]
+
+    wu1 = jnp.where(u0i > su, 1.0, fu)
+    wv1 = jnp.where(v0i > sv, 1.0, fv)
+    wcol = jnp.stack([1.0 - wu1, wu1], -1)                   # [..., 2]
+    wrow = jnp.stack([1.0 - wv1, wv1], -1)
+    wgt = wrow[..., :, None] * wcol[..., None, :]            # [..., 2, 2]
+    return jnp.sum(patch * wgt[..., None], axis=(-3, -2))
 
 
 def _equirect_query(dirs: jax.Array, h: int, w: int):
