@@ -56,7 +56,7 @@ def stage1_step():
 
 
 def main():
-    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "4", "6", "5"}
+    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "4", "6", "7", "5"}
     log("devices:", jax.devices())
     import svgir_tpu.ops.blend_pallas as bp
 
@@ -152,6 +152,25 @@ def main():
 
         stepe = jax.jit(jax.value_and_grad(f))
         time_step(stepe, (env_state["params"],),
+                  ready=lambda out: out[0])
+
+    if "7" in steps:
+        log("== 7. consistency-loss microbench (50k x 24, fwd+bwd)")
+        import jax.numpy as jnp
+        import bench_stage2
+        from svgir_tpu.models import lights as LT
+        from svgir_tpu.models import radiance as RADm
+        _, a2 = bench_stage2.build()
+        state2, _, env_state2, bake2, cam2 = a2[0], a2[1], a2[2], a2[3], a2[4]
+
+        def g(p, env_p):
+            return RADm.radiance_consistency_loss(
+                p, bake2, cam2.camera_center,
+                lambda d: LT.direct_light(env_p, d),
+                alive=state2["alive"])
+
+        stepc = jax.jit(jax.value_and_grad(g, argnums=(0, 1)))
+        time_step(stepc, (state2["params"], env_state2["params"]),
                   ready=lambda out: out[0])
 
     if "5" in steps:
