@@ -31,6 +31,7 @@ def render_view_stage1(camera, params, bg: jax.Array, *,
                        sh_degree: int = 3,
                        alive: Optional[jax.Array] = None,
                        mean2d_offset: Optional[jax.Array] = None,
+                       need_weights: bool = True,
                        cfg: RasterConfig = RasterConfig()) -> Dict[str, Any]:
     """gaussian_renderer/render.py:17-135 equivalent."""
     xyz = params["xyz"]
@@ -50,7 +51,8 @@ def render_view_stage1(camera, params, bg: jax.Array, *,
     bufs = rasterize(
         xyz, scaling, rotation, opacity, camera, bg,
         shs=G.get_shs(params), sh_degree=sh_degree, features=features,
-        mean2d_offset=mean2d_offset, cfg=cfg, mask=alive, weights_grad=False)
+        mean2d_offset=mean2d_offset, cfg=cfg, mask=alive, weights_grad=False,
+        need_weights=need_weights)
 
     opac = bufs.opacity
     mask_contrib = (bufs.n_contrib > 0).astype(jnp.float32)[None]
@@ -143,10 +145,11 @@ def calculate_loss_stage1(camera, params, results, opt: OptimizationConfig,
 def render_stage1(camera, params, bg, *, opt: OptimizationConfig,
                   iteration=0, is_training=False, alive=None,
                   mean2d_offset=None, sh_degree=3, mono=None,
+                  need_weights=True,
                   cfg: RasterConfig = RasterConfig(), **_) -> Dict[str, Any]:
     results = render_view_stage1(camera, params, bg, sh_degree=sh_degree,
                                  alive=alive, mean2d_offset=mean2d_offset,
-                                 cfg=cfg)
+                                 need_weights=need_weights, cfg=cfg)
     if is_training:
         loss, tb = calculate_loss_stage1(camera, params, results, opt,
                                          iteration, mono=mono)

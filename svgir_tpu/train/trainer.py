@@ -38,7 +38,8 @@ def make_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
                     bg, *, sh_degree: int = 3,
                     render_fn: Callable = render_stage1,
                     lrs: Optional[Dict[str, float]] = None,
-                    extra_args_fn=None, donate: bool = False):
+                    extra_args_fn=None, donate: bool = False,
+                    track_stats: bool = True):
     """Build the jitted stage-1 train step.
 
     Returns step(state, opt_state, camera, iteration, xyz_lr)
@@ -47,6 +48,12 @@ def make_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
     ``donate=True`` donates (state, opt_state) to XLA (in-place update —
     halves their HBM footprint at 1M-gaussian scale); callers must then
     drop the old references, as the training loops do.
+
+    ``track_stats=False`` skips the densification bookkeeping entirely —
+    the per-gaussian weight sums (in-kernel writebacks + [M]->[N] scatter)
+    and the screen-gradient stat accumulation.  Stats only feed
+    densify/prune, which stops at ``densify_until_iter`` (reference
+    train.py:194-209), so the second half of stage 1 never needs them.
     """
     bg = jnp.asarray(bg)
 
@@ -60,7 +67,7 @@ def make_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
             res = render_fn(camera, p, bg, opt=opt, iteration=iteration,
                             is_training=True, alive=alive, mean2d_offset=off,
                             sh_degree=sh_degree, mono=camera.mono,
-                            cfg=raster_cfg)
+                            need_weights=track_stats, cfg=raster_cfg)
             return res["loss"], res
 
         (loss, res), (gp, goff) = jax.value_and_grad(
@@ -69,12 +76,14 @@ def make_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
         step_lrs = {**(lrs or {}), "xyz": xyz_lr}
         params, opt_state = optim.adam_step(params, gp, opt_state, step_lrs)
 
-        # densification stats: NDC-scale screen gradients (backward.cu:639)
-        gnd = goff * jnp.array([0.5 * camera.width, 0.5 * camera.height])
         visible = res["visibility_filter"] & alive
-        stats = G.add_densification_stats(
-            stats, gnd, visible, res["weights"],
-            res["radii"].astype(jnp.float32))
+        if track_stats:
+            # densification stats: NDC-scale screen grads (backward.cu:639)
+            gnd = goff * jnp.array([0.5 * camera.width,
+                                    0.5 * camera.height])
+            stats = G.add_densification_stats(
+                stats, gnd, visible, res["weights"],
+                res["radii"].astype(jnp.float32))
 
         new_state = {"params": params, "alive": alive, "stats": stats}
         tb = dict(res["tb_dict"])
@@ -170,6 +179,9 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
         opt_state = optim.adam_init(state["params"])
     step_fn = make_train_step(opt, raster_cfg, bg, sh_degree=sh_degree,
                               lrs=lrs, donate=True)
+    # past densify_until_iter the stats (weight sums + screen grads) are
+    # dead weight — switch to a stats-free step for the rest of the run
+    step_fn_fast = None
     densify_fn = jax.jit(
         partial(G.densify_and_prune,
                 max_grad=opt.densify_grad_threshold, min_opacity=0.005,
@@ -198,8 +210,13 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
         cam = camera_for_iter(cams, it, seed)
         xyz_lr = float(xyz_sched(it))
 
-        state, opt_state, tb = step_fn(state, opt_state, cam,
-                                       jnp.float32(it), jnp.float32(xyz_lr))
+        if it >= opt.densify_until_iter and step_fn_fast is None:
+            step_fn_fast = make_train_step(
+                opt, raster_cfg, bg, sh_degree=sh_degree, lrs=lrs,
+                donate=True, track_stats=False)
+        fn = step_fn_fast if it >= opt.densify_until_iter else step_fn
+        state, opt_state, tb = fn(state, opt_state, cam,
+                                  jnp.float32(it), jnp.float32(xyz_lr))
 
         if it < opt.densify_until_iter:
             n_alive = int(state["alive"].sum())
