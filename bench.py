@@ -67,12 +67,18 @@ def build():
                               image_mask=jnp.ones((1, RES, RES)))
     bg = jnp.zeros(3)
 
-    def loss_fn(params):
+    def loss_fn(params, need_weights=True):
         res = render_stage1(cam, params, bg, opt=opt, iteration=1000.0,
-                            is_training=True, alive=state["alive"], cfg=cfg)
+                            is_training=True, alive=state["alive"], cfg=cfg,
+                            need_weights=need_weights)
         return res["loss"]
 
     step = jax.jit(jax.value_and_grad(loss_fn))
+    # post-densification step (iter >= 15k trains without stats — trainer
+    # switches automatically; reported as an extra bench key)
+    step_nostats = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, need_weights=False)))
+    build.step_nostats = step_nostats
 
     # overflow check: the cap above must cover this scene's instance count
     from svgir_tpu.models.gaussians import get_rotation, get_scaling
@@ -134,6 +140,28 @@ def main():
         "unit": "pixels/s/chip",
         "vs_baseline": round(pix_s / REF_PIX_S, 3),
     }
+
+    # post-densification step (stats-free; the trainer switches to this
+    # variant after densify_until_iter — half of stage-1 training)
+    try:
+        sn = build.step_nostats
+        loss, grads = sn(params)
+        jax.block_until_ready(loss)
+        times_n = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(batch):
+                loss, grads = sn(params)
+            jax.block_until_ready((loss, grads))
+            times_n.append((time.perf_counter() - t0) / batch)
+        times_n.sort()
+        medn = times_n[len(times_n) // 2]
+        record["stage1_nostats_pixels_s"] = round(RES * RES / medn)
+        record["stage1_nostats_ms_per_step"] = round(medn * 1e3, 2)
+        log(f"stage-1 no-stats step: {medn*1e3:.2f} ms "
+            f"({RES*RES/medn/1e6:.2f} Mpix/s)")
+    except Exception as exc:
+        log(f"no-stats bench failed: {exc}")
 
     # stage-2 (render_relight) train step as extra keys on the same line
     # (the driver consumes exactly one JSON line)
