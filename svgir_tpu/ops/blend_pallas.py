@@ -30,7 +30,7 @@ sorted+padded instances) so each chunk is a single 2-D DMA:
   rows NG+CA..   4*CV vertex channels (v-major: v*CV + c), blended with
                   w * bilinear vertex weight.
 
-Per-tile output block [CA+CV+3, P=256], channel-major so the channel dim
+Per-tile output block [CA+CV+3, P=tile**2], channel-major so the channel dim
 rides sublanes (17 channels on lanes would pad to 128 — a 7.5x HBM
 footprint for every downstream reshape/slice): plain accums, vertex
 accums, final logT, n_contrib, chunks-processed.  Final image assembly
@@ -53,13 +53,13 @@ from jax.experimental.pallas import tpu as pltpu
 from svgir_tpu.ops.common import ALPHA_MAX, ALPHA_MIN, LOG_T_EPS
 
 NG = 12          # geometry rows in the slab
-PIX = 256        # pixels per 16x16 tile
 NEG_INF = -1e30
 
 
 def _pixel_coords(t, grid_x, tile):
-    """Tile-t pixel coordinates as [PIX, 1] f32 columns (row-major in tile)."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    """Tile-t pixel coordinates as [pix, 1] f32 columns (row-major in
+    tile), pix = tile**2."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1), 0)
     tx = (t % grid_x) * tile
     ty = (t // grid_x) * tile
     px = (tx + p % tile).astype(jnp.float32)
@@ -151,6 +151,7 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     exposes one full HBM round-trip."""
     t = pl.program_id(0)
     nprog = pl.num_programs(0)
+    pix = tile * tile
     start = pl.multiple_of(starts_ref[t], chunk)
     nchunks = counts_ref[t] // chunk
     px, py = _pixel_coords(t, grid_x, tile)
@@ -159,7 +160,7 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     # channel-major output [co, PIX]: co rides sublanes (pads 17 -> 24)
     # instead of lanes (17 -> 128, a 7.5x HBM footprint that made every
     # downstream reshape/slice of the tile tensor pay 7.5x traffic)
-    out_ref[0] = jnp.zeros((ca + cv + 3, PIX), jnp.float32)
+    out_ref[0] = jnp.zeros((ca + cv + 3, pix), jnp.float32)
 
     def slab_copy_at(s, slot):
         return pltpu.make_async_copy(
@@ -249,8 +250,8 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
         return (c + 1,) + body(c, logT, nc)
 
     c_stop, logT, nc = jax.lax.while_loop(
-        cond, wbody, (jnp.int32(0), jnp.zeros((PIX, 1), jnp.float32),
-                      jnp.zeros((PIX, 1), jnp.float32)))
+        cond, wbody, (jnp.int32(0), jnp.zeros((pix, 1), jnp.float32),
+                      jnp.zeros((pix, 1), jnp.float32)))
 
     # drain the prefetch issued for the chunk the early exit skipped
     # (c_stop < nchunks implies iteration c_stop-1 ran and prefetched it)
@@ -287,7 +288,7 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     out_ref[0, ca + cv:ca + cv + 1, :] = logT.T
     out_ref[0, ca + cv + 1:ca + cv + 2, :] = nc.T
     out_ref[0, ca + cv + 2:ca + cv + 3, :] = jnp.full(
-        (1, PIX), 1.0, jnp.float32) * c_stop.astype(jnp.float32)
+        (1, pix), 1.0, jnp.float32) * c_stop.astype(jnp.float32)
 
 
 def blend_forward(slab: jax.Array, tile_start: jax.Array,
@@ -313,7 +314,8 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, ca + cv + 3, PIX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, ca + cv + 3, tile * tile),
+                         lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -329,7 +331,8 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
     out, wsum = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, ca + cv + 3, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, ca + cv + 3, tile * tile),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((1, m), jnp.float32),
         ),
         grid_spec=grid_spec,
@@ -358,6 +361,7 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
     """
     t = pl.program_id(0)
     nprog = pl.num_programs(0)
+    pix = tile * tile
     start = pl.multiple_of(starts_ref[t], chunk)
     nchunks = counts_ref[t] // chunk
     px, py = _pixel_coords(t, grid_x, tile)
@@ -603,9 +607,10 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # slab
-            pl.BlockSpec((1, ca + cv + 3, PIX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, ca + cv + 3, tile * tile),
+                         lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # g_out
-            pl.BlockSpec((1, 3, PIX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 3, tile * tile), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # logT/nc/cstop
             pl.BlockSpec(memory_space=pl.ANY),                 # g_wsum
         ],

@@ -56,7 +56,7 @@ def stage1_step():
 
 
 def main():
-    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "4", "6", "7", "5"}
+    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "4", "6", "7", "5"}
     log("devices:", jax.devices())
     import svgir_tpu.ops.blend_pallas as bp
 
@@ -131,6 +131,22 @@ def main():
             step, args, ready = stage1_step()
             time_step(step, args, ready=ready)
         del os.environ["SVGIR_BENCH_CHUNK"]
+
+    if "8" in steps:
+        # bigger tiles cut instance counts (rect area shrinks) but grow
+        # per-instance pixel work (pix = tile^2) and weaken early exit
+        import os
+        for tl, ch in (("32", "128"), ("32", "64")):
+            log(f"== 8. stage-1 tile={tl} chunk={ch}")
+            os.environ["SVGIR_BENCH_TILE"] = tl
+            os.environ["SVGIR_BENCH_CHUNK"] = ch
+            step, args, ready = stage1_step()
+            try:
+                time_step(step, args, ready=ready)
+            except Exception as exc:
+                log(f"  failed: {exc}")
+            del os.environ["SVGIR_BENCH_TILE"]
+            del os.environ["SVGIR_BENCH_CHUNK"]
 
     if "4" in steps:
         log("== 4. stage-2 (fused vertex matmuls)")
