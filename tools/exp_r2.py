@@ -2,10 +2,14 @@
 
 Runs, printing results incrementally (so partial progress survives a
 tunnel drop):
+  0. on-TPU correctness smoke (tiled Pallas vs dense oracle + grads)
   1. stage-1 bench baseline (captures the committed residual-slab win)
   2. stage-1 A/B: blend MXU precision HIGH (bf16_3x)
-  3. stage-1 A/B: chunk=256
-  4. stage-2 bench (captures the fused vertex matmuls)
+  3. stage-1 A/B: chunk 256 / 64
+  8. stage-1 A/B: tile=32 (chunk 128 / 64)
+  4. stage-2 bench (captures the fused vertex matmuls + snug cap)
+  6. env-lookup microbench (patch-gather bilinear, fwd+bwd)
+  7. consistency-loss microbench (fused hit gather, fwd+bwd)
   5. stage-1 + stage-2 trace profiles (top ops by self time)
 
 Usage: python tools/exp_r2.py [steps...]   e.g. `python tools/exp_r2.py 1 2 5`
