@@ -10,6 +10,7 @@ tunnel drop):
   4. stage-2 bench (captures the fused vertex matmuls + snug cap)
   6. env-lookup microbench (patch-gather bilinear, fwd+bwd)
   7. consistency-loss microbench (fused hit gather, fwd+bwd)
+  9. binner v3 microbench (preprocess+bin, fwd only)
   5. stage-1 + stage-2 trace profiles (top ops by self time)
 
 Usage: python tools/exp_r2.py [steps...]   e.g. `python tools/exp_r2.py 1 2 5`
@@ -60,7 +61,8 @@ def stage1_step():
 
 
 def main():
-    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "4", "6", "7", "5"}
+    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "4", "6", "7", "9",
+                                  "5"}
     log("devices:", jax.devices())
     import svgir_tpu.ops.blend_pallas as bp
 
@@ -192,6 +194,47 @@ def main():
         stepc = jax.jit(jax.value_and_grad(g, argnums=(0, 1)))
         time_step(stepc, (state2["params"], env_state2["params"]),
                   ready=lambda out: out[0])
+
+    if "9" in steps:
+        log("== 9. binner v3 microbench (preprocess+bin, fwd only)")
+        import os
+        import jax.numpy as jnp
+        import bench
+        from svgir_tpu.config import RasterConfig
+        from svgir_tpu.models.gaussians import get_rotation, get_scaling
+        from svgir_tpu.models import gaussians as G
+        from svgir_tpu.ops.binning import bin_instances_counting
+        from svgir_tpu.ops.preprocess import preprocess
+        from svgir_tpu.cameras import look_at_camera
+        from svgir_tpu.utils.transforms import normalize
+        import math as _m
+        k = jax.random.split(jax.random.PRNGKey(0), 4)
+        dirs = normalize(jax.random.normal(k[0], (bench.N_GAUSS, 3)))
+        r = 0.7 + 0.3 * jax.random.uniform(k[1], (bench.N_GAUSS, 1))
+        pts = dirs * r
+        cols = jax.random.uniform(k[2], (bench.N_GAUSS, 3))
+        state = G.init_from_points(pts, cols, normals=dirs,
+                                   capacity=bench.N_GAUSS,
+                                   rotation_init="normal")
+        cam = look_at_camera(eye=[0.5, 0.4, -2.6], target=[0, 0, 0],
+                             up=[0, -1, 0], fovx=_m.pi / 3, fovy=_m.pi / 3,
+                             width=bench.RES, height=bench.RES)
+        cfgb = RasterConfig(
+            max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)))
+
+        @jax.jit
+        def binner(params):
+            prep = preprocess(
+                params["xyz"], get_scaling(params), get_rotation(params),
+                cam.world_view, cam.full_proj, cam.camera_center,
+                width=bench.RES, height=bench.RES, tanfovx=cam.tanfovx,
+                tanfovy=cam.tanfovy, focal_x=cam.focal_x,
+                focal_y=cam.focal_y, cfg=cfgb)
+            b = bin_instances_counting(prep, width=bench.RES,
+                                       height=bench.RES, cfg=cfgb)
+            return b.gaussian_id, b.num_instances
+
+        time_step(binner, (state["params"],), ready=lambda out: out[0])
 
     if "5" in steps:
         log("== 5. trace profiles")
