@@ -7,6 +7,7 @@ tunnel drop):
   2. stage-1 A/B: blend MXU precision HIGH (bf16_3x)
   3. stage-1 A/B: chunk 256 / 64
   8. stage-1 A/B: tile=32 (chunk 128 / 64)
+  a. stage-1 A/B: max_instances cap 1<<18 / 3<<17
   4. stage-2 bench (captures the fused vertex matmuls + snug cap)
   6. env-lookup microbench (patch-gather bilinear, fwd+bwd)
   7. consistency-loss microbench (fused hit gather, fwd+bwd)
@@ -61,8 +62,8 @@ def stage1_step():
 
 
 def main():
-    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "4", "6", "7", "9",
-                                  "5"}
+    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "a", "4", "6", "7",
+                                  "9", "5"}
     log("devices:", jax.devices())
     import svgir_tpu.ops.blend_pallas as bp
 
@@ -194,6 +195,21 @@ def main():
         stepc = jax.jit(jax.value_and_grad(g, argnums=(0, 1)))
         time_step(stepc, (state2["params"], env_state2["params"]),
                   ready=lambda out: out[0])
+
+    if "a" in steps:
+        # every instance-space gather/scatter/zero-fill scales with the
+        # static cap; the v3 exact binner changed the instance count, so
+        # re-resolve the snuggest safe cap empirically
+        import os
+        for cap in (str(1 << 18), str(3 << 17)):
+            log(f"== a. stage-1 cap={cap}")
+            os.environ["SVGIR_BENCH_CAP"] = cap
+            step, args, ready = stage1_step()
+            try:
+                time_step(step, args, ready=ready)
+            except Exception as exc:
+                log(f"  failed: {exc}")
+            del os.environ["SVGIR_BENCH_CAP"]
 
     if "9" in steps:
         log("== 9. binner v3 microbench (preprocess+bin, fwd only)")
