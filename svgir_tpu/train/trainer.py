@@ -162,7 +162,8 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                  opt_state=None, out_dir: Optional[str] = None,
                  checkpoint_interval: int = 0,
                  test_cameras: Optional[List] = None,
-                 test_interval: int = 0, vis_interval: int = 0):
+                 test_interval: int = 0, vis_interval: int = 0,
+                 auto_grow_instances: bool = True):
     """Run the stage-1 loop.  Returns (state, opt_state, history)."""
     from svgir_tpu.render.stage1 import render_view_stage1
     from svgir_tpu.train import checkpoint as CK
@@ -194,10 +195,15 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
 
     bgj = jnp.asarray(bg)
 
-    @jax.jit
-    def eval_render(params, alive, camera):
-        return render_view_stage1(camera, params, bgj, sh_degree=sh_degree,
-                                  alive=alive, cfg=raster_cfg)
+    def make_eval_render(cfg):
+        @jax.jit
+        def eval_render(params, alive, camera):
+            return render_view_stage1(camera, params, bgj,
+                                      sh_degree=sh_degree, alive=alive,
+                                      cfg=cfg)
+        return eval_render
+
+    eval_render = make_eval_render(raster_cfg)
 
     periodic = PeriodicTasks(
         out_dir=out_dir, checkpoint_interval=checkpoint_interval,
@@ -251,7 +257,16 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                      "loss": float(tb["loss"]),
                      "n_alive": int(state["alive"].sum()),
                      "elapsed": time.time() - t0, **extras}
-            _warn_overflow(entry, tb, it)
+            if _warn_overflow(entry, tb, it) and auto_grow_instances:
+                raster_cfg = _grow_instance_cap(raster_cfg)
+                step_fn = make_train_step(opt, raster_cfg, bg,
+                                          sh_degree=sh_degree, lrs=lrs,
+                                          donate=True)
+                if step_fn_fast is not None:
+                    step_fn_fast = make_train_step(
+                        opt, raster_cfg, bg, sh_degree=sh_degree, lrs=lrs,
+                        donate=True, track_stats=False)
+                eval_render = make_eval_render(raster_cfg)
             history.append(entry)
             if callback:
                 callback(entry, state)
@@ -259,16 +274,30 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
     return state, opt_state, history
 
 
-def _warn_overflow(entry, tb, it):
+def _warn_overflow(entry, tb, it) -> bool:
     """Surface binner overflow (instances silently truncated this frame):
     the CUDA reference grows its buffers dynamically (rasterizer_impl.cu:
-    70-111); our fixed caps must be raised via RasterConfig.max_instances
-    when this fires."""
+    70-111); our fixed caps are grown by the training loops when this fires
+    (checked at log cadence — a per-step host sync would serialize the
+    dispatch pipeline)."""
     if bool(tb.get("overflow", False)):
         entry["overflow"] = 1.0
         print(f"WARNING: instance-buffer overflow at iter {it}: splats were "
-              "dropped; raise RasterConfig.max_instances (or rect_cap)",
-              flush=True)
+              "dropped this frame", flush=True)
+        return True
+    return False
+
+
+def _grow_instance_cap(raster_cfg: RasterConfig) -> RasterConfig:
+    """Double max_instances (the CUDA reference's resizeFunctional realloc,
+    rasterizer_impl.cu:70-111, made static-shape: rare recompile instead of
+    per-frame realloc)."""
+    import dataclasses
+    new = dataclasses.replace(raster_cfg,
+                              max_instances=raster_cfg.max_instances * 2)
+    print(f"growing max_instances {raster_cfg.max_instances} -> "
+          f"{new.max_instances} (recompile)", flush=True)
+    return new
 
 
 def make_svgss_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
@@ -335,7 +364,8 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
                  opt_state=None, out_dir: Optional[str] = None,
                  checkpoint_interval: int = 0,
                  test_cameras: Optional[List] = None,
-                 test_interval: int = 0, vis_interval: int = 0):
+                 test_interval: int = 0, vis_interval: int = 0,
+                 auto_grow_instances: bool = True):
     """Stage-2 loop (train.py with is_pbr=True).
 
     ``state`` must already be PBR-upgraded (models.gaussians.upgrade_to_pbr).
@@ -388,11 +418,15 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
 
     bgj = jnp.asarray(bg)
 
-    @jax.jit
-    def eval_render(params, alive, env_params, camera):
-        return render_view_svgss(camera, params, bake_static, env_params,
-                                 bgj, is_training=False, alive=alive,
-                                 sh_degree=sh_degree, cfg=raster_cfg)
+    def make_eval_render(cfg):
+        @jax.jit
+        def eval_render(params, alive, env_params, camera):
+            return render_view_svgss(camera, params, bake_static, env_params,
+                                     bgj, is_training=False, alive=alive,
+                                     sh_degree=sh_degree, cfg=cfg)
+        return eval_render
+
+    eval_render = make_eval_render(raster_cfg)
 
     periodic = PeriodicTasks(
         out_dir=out_dir, checkpoint_interval=checkpoint_interval,
@@ -436,7 +470,12 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
                      "psnr_pbr": float(tb["psnr_pbr"]),
                      "loss": float(tb["loss"]),
                      "elapsed": time.time() - t0, **extras}
-            _warn_overflow(entry, tb, it)
+            if _warn_overflow(entry, tb, it) and auto_grow_instances:
+                raster_cfg = _grow_instance_cap(raster_cfg)
+                step_fn = make_svgss_train_step(opt, raster_cfg, bg,
+                                                sh_degree=sh_degree, lrs=lrs,
+                                                donate=True)
+                eval_render = make_eval_render(raster_cfg)
             history.append(entry)
             if callback:
                 callback(entry, state, env_state)

@@ -211,3 +211,40 @@ def test_split_replaces_large_points():
     children = scal[scal[:, 2] < -1e9]
     assert children.shape[0] == 2
     np.testing.assert_allclose(children[:, 0], np.log(5.0 / 1.6), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_overflow_auto_grows_instance_cap():
+    """A run started with an absurdly small max_instances must surface the
+    overflow in the history AND keep training by growing the cap (the CUDA
+    reference reallocs per frame, rasterizer_impl.cu:70-111; we recompile at
+    log cadence instead) until a later logged step is overflow-free."""
+    key = jax.random.PRNGKey(0)
+    means, quats, scales, opac, colors = make_gt_scene(key, n=40)
+    bg = jnp.zeros(3)
+    cams = []
+    for cam in ring_cameras(k=3, res=32):
+        bufs = rasterize(means, scales, quats, opac, cam, bg, colors=colors,
+                         cfg=CFG, interpret=True)
+        import dataclasses
+        cams.append(dataclasses.replace(
+            cam, image=jnp.clip(bufs.color, 0, 1),
+            image_mask=jnp.ones((1, 32, 32))))
+
+    k1, _ = jax.random.split(jax.random.PRNGKey(1))
+    init_pts = means + 0.1 * jax.random.normal(k1, means.shape)
+    state = G.init_from_points(init_pts, jnp.full_like(colors, 0.5),
+                               capacity=256)
+
+    opt = OptimizationConfig(
+        iterations=12, densify_from_iter=10_000, densify_until_iter=10_000,
+        opacity_reset_interval=10_000, position_lr_max_steps=12)
+    tiny = RasterConfig(max_instances=128, chunk=128)
+    state, _, history = train_stage1(
+        state, cams, opt, bg=(0, 0, 0), raster_cfg=tiny,
+        spatial_lr_scale=1.0, iterations=12, log_every=2, seed=3)
+
+    flags = [h.get("overflow", 0.0) for h in history]
+    assert flags[0] == 1.0, "tiny cap must overflow on the first logged step"
+    assert flags[-1] == 0.0, f"cap never grew clear of overflow: {flags}"
+    assert np.isfinite([h["loss"] for h in history]).all()
