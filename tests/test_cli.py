@@ -83,11 +83,36 @@ def test_train_cli_stage1(tmp_path):
         "--output", rel_out, "--frames", "2", "--resolution", "32",
         "--sample_num", "2", "--max_instances", "4096",
     ])
-    assert os.path.exists(os.path.join(rel_out, "00001.png"))
+    rel_frames = os.path.join(rel_out, "pbr_env")
+    assert os.path.exists(os.path.join(rel_frames, "frame_1.png"))
+
+    # relighting CLI via a reference-style config DIRECTORY
+    # (configs/<name>/{transform,trajectory,light_transform}.json)
+    cfg_dir = str(tmp_path / "cfg")
+    os.makedirs(cfg_dir, exist_ok=True)
+    ident4 = [1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0]
+    json.dump({"scene": {"path": os.path.join(out2, "point_cloud.ply"),
+                         "transform": ident4}},
+              open(os.path.join(cfg_dir, "transform.json"), "w"))
+    w2c = [1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 3.0, 0, 0, 0, 1.0]
+    json.dump({"camera": {"width": 32, "height": 32, "fov": 40},
+               "trajectory": {"0": w2c, "1": w2c}},
+              open(os.path.join(cfg_dir, "trajectory.json"), "w"))
+    rot = [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0]
+    json.dump({"transform": {"0": rot, "1": rot}},
+              open(os.path.join(cfg_dir, "light_transform.json"), "w"))
+    rel_out2 = str(tmp_path / "relight_cfgdir")
+    relighting.main([
+        "--config", cfg_dir, "--hdr", hdr, "--output", rel_out2,
+        "--sample_num", "2", "--max_instances", "4096",
+        "--capture_list", "pbr_env,normal,roughness",
+    ])
+    for ct in ("pbr_env", "normal", "roughness"):
+        assert os.path.exists(os.path.join(rel_out2, ct, "frame_1.png")), ct
 
     # normal_eval CLI over the relight frames (self-MAE == 0)
     import normal_eval
-    normal_eval.main(["--pred_dir", rel_out, "--gt_dir", rel_out])
+    normal_eval.main(["--pred_dir", rel_frames, "--gt_dir", rel_frames])
 
     # GUI viewer in headless orbit-sweep mode over the stage-2 checkpoint
     import gui
