@@ -37,8 +37,15 @@ def render_set(out_dir: str, name: str, cameras: List, render_one,
     os.makedirs(gt_dir, exist_ok=True)
 
     psnrs, ssims, lpipss = [], [], []
+    warned_overflow = False
     for idx, cam in enumerate(cameras):
         res = render_one(cam)
+        if (not warned_overflow and "overflow" in res
+                and bool(jnp.any(res["overflow"]))):
+            warned_overflow = True
+            print(f"WARNING: instance-buffer overflow rendering {name} "
+                  f"view {idx}: splats were dropped — raise "
+                  "--max_instances", flush=True)
         pred = jnp.clip(res["render"], 0, 1)
         gt = cam.image
         psnrs.append(M.psnr(pred, gt))

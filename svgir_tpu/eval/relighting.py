@@ -92,10 +92,17 @@ def eval_relighting(out_dir: str, params, alive, env_state: Dict,
 
     base_color_scale = jnp.ones(3)
     rows = []
+    warned_overflow = False
     os.makedirs(os.path.join(out_dir, light_name), exist_ok=True)
     for idx, cam in enumerate(cameras):
         res = _render(params, alive, bake_static, strip_meta(cam),
                       base_color_scale)
+        if (not warned_overflow and "overflow" in res
+                and bool(jnp.any(res["overflow"]))):
+            warned_overflow = True
+            print(f"WARNING: instance-buffer overflow rendering "
+                  f"{light_name} view {idx}: splats were dropped — raise "
+                  "--max_instances", flush=True)
         if idx == 0 and gt_albedo_fn is not None:
             gt_albedo, mask = gt_albedo_fn(0)
             base_color_scale = calibrate_albedo_scale(
