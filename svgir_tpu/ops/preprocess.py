@@ -63,6 +63,7 @@ def preprocess(
     focal_y: float,
     shs: Optional[jax.Array] = None,   # [N, K, 3]
     sh_degree: int = 3,
+    active_sh_degree=None,             # traced scalar: SH-degree ramp mask
     colors: Optional[jax.Array] = None,  # [N, 3] precomputed (overrides shs)
     patch_bbox: Optional[jax.Array] = None,  # [4] (y0, x0, y1, x1) pixels
     scale_modifier: float = 1.0,
@@ -150,7 +151,8 @@ def preprocess(
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
         rgb = sh_utils.sh_to_rgb_clamped(
-            sh_degree, jnp.swapaxes(shs, -1, -2), dirs)
+            sh_degree, jnp.swapaxes(shs, -1, -2), dirs,
+            active_degree=active_sh_degree)
     else:
         rgb = jnp.zeros((n, 3), means3d.dtype)
 

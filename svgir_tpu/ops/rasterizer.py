@@ -219,6 +219,7 @@ def rasterize(
     *,
     shs: Optional[jax.Array] = None,
     sh_degree: int = 3,
+    active_sh_degree=None,
     colors: Optional[jax.Array] = None,
     features: Optional[jax.Array] = None,
     vfeatures: Optional[jax.Array] = None,
@@ -250,8 +251,8 @@ def rasterize(
         camera.camera_center, width=width, height=height,
         tanfovx=camera.tanfovx, tanfovy=camera.tanfovy,
         focal_x=camera.focal_x, focal_y=camera.focal_y,
-        shs=shs, sh_degree=sh_degree, colors=colors,
-        scale_modifier=scale_modifier, cfg=cfg)
+        shs=shs, sh_degree=sh_degree, active_sh_degree=active_sh_degree,
+        colors=colors, scale_modifier=scale_modifier, cfg=cfg)
     if mask is not None:
         valid = prep.valid & mask
         prep = prep._replace(

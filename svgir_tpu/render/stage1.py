@@ -28,12 +28,16 @@ def _maxpool9(x: jax.Array) -> jax.Array:
 
 
 def render_view_stage1(camera, params, bg: jax.Array, *,
-                       sh_degree: int = 3,
+                       sh_degree: int = 3, active_sh_degree=None,
                        alive: Optional[jax.Array] = None,
                        mean2d_offset: Optional[jax.Array] = None,
                        need_weights: bool = True,
                        cfg: RasterConfig = RasterConfig()) -> Dict[str, Any]:
-    """gaussian_renderer/render.py:17-135 equivalent."""
+    """gaussian_renderer/render.py:17-135 equivalent.
+
+    ``active_sh_degree``: traced SH-ramp scalar (oneupSHdegree,
+    reference train.py:115-116); None evaluates the full degree, which is
+    identical once the ramp completes (masked coefficients stay zero)."""
     xyz = params["xyz"]
     opacity = G.get_opacity(params)[:, 0]
     if alive is not None:
@@ -50,7 +54,8 @@ def render_view_stage1(camera, params, bg: jax.Array, *,
     # term), matching the reference's non-differentiable out_weights buffer
     bufs = rasterize(
         xyz, scaling, rotation, opacity, camera, bg,
-        shs=G.get_shs(params), sh_degree=sh_degree, features=features,
+        shs=G.get_shs(params), sh_degree=sh_degree,
+        active_sh_degree=active_sh_degree, features=features,
         mean2d_offset=mean2d_offset, cfg=cfg, mask=alive, weights_grad=False,
         need_weights=need_weights)
 
@@ -147,7 +152,13 @@ def render_stage1(camera, params, bg, *, opt: OptimizationConfig,
                   mean2d_offset=None, sh_degree=3, mono=None,
                   need_weights=True,
                   cfg: RasterConfig = RasterConfig(), **_) -> Dict[str, Any]:
+    # SH-degree ramp (reference train.py:115-116: +1 per 1000 iters, max 3);
+    # `iteration` is a traced scalar so the ramp needs no recompiles
+    active = jnp.minimum(float(sh_degree),
+                         jnp.floor(jnp.asarray(iteration, jnp.float32)
+                                   / 1000.0)) if is_training else None
     results = render_view_stage1(camera, params, bg, sh_degree=sh_degree,
+                                 active_sh_degree=active,
                                  alive=alive, mean2d_offset=mean2d_offset,
                                  need_weights=need_weights, cfg=cfg)
     if is_training:

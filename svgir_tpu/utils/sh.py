@@ -52,21 +52,35 @@ def eval_sh_basis(deg: int, dirs: jax.Array) -> jax.Array:
     return jnp.stack(out, axis=-1)
 
 
-def eval_sh(deg: int, sh: jax.Array, dirs: jax.Array) -> jax.Array:
+def band_index(deg: int) -> jax.Array:
+    """Band (degree) of each SH coefficient: [0, 1,1,1, 2,...] [(deg+1)**2]."""
+    return jnp.concatenate([jnp.full((2 * b + 1,), b, jnp.float32)
+                            for b in range(deg + 1)])
+
+
+def eval_sh(deg: int, sh: jax.Array, dirs: jax.Array,
+            active_degree=None) -> jax.Array:
     """Evaluate SH: ``sh`` [..., C, (deg+1)**2] x dirs [..., 3] -> [..., C].
 
-    Reference: ``eval_sh`` (utils/sh_utils.py:71-128).
+    Reference: ``eval_sh`` (utils/sh_utils.py:71-128).  ``active_degree``
+    (traced scalar) masks bands above it — the SH-degree ramp
+    (``oneupSHdegree``, reference train.py:115-116) without recompiles:
+    masked coefficients get zero gradients, so they stay exactly zero until
+    their band activates, exactly like the reference's degree-limited eval.
     """
     basis = eval_sh_basis(deg, dirs)  # [..., K]
+    if active_degree is not None:
+        basis = basis * (band_index(deg) <= active_degree)
     k = (deg + 1) ** 2
     return jnp.einsum("...ck,...k->...c", sh[..., :k], basis)
 
 
-def sh_to_rgb_clamped(deg: int, sh: jax.Array, dirs: jax.Array) -> jax.Array:
+def sh_to_rgb_clamped(deg: int, sh: jax.Array, dirs: jax.Array,
+                      active_degree=None) -> jax.Array:
     """SH -> RGB with the +0.5 offset and clamp-at-0 used by the rasterizer
     (``computeColorFromSH``, forward.cu:20-71).  Autodiff through the clamp
     reproduces the reference's `clamped`-gated backward."""
-    return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
+    return jnp.maximum(eval_sh(deg, sh, dirs, active_degree) + 0.5, 0.0)
 
 
 def rgb_to_sh(rgb: jax.Array) -> jax.Array:

@@ -81,6 +81,24 @@ class TestSH:
         out = sh_utils.eval_sh(0, shs, dirs)
         np.testing.assert_allclose(out, sh_utils.C0 * np.ones((5, 3)), atol=1e-6)
 
+    def test_active_degree_mask_equals_truncated_eval(self):
+        """eval_sh with a traced active_degree == static eval at that degree
+        (the oneupSHdegree ramp, reference train.py:115-116), and gradients
+        w.r.t. masked coefficients are exactly zero (so they stay zero until
+        their band activates)."""
+        key = jax.random.PRNGKey(2)
+        shs = jax.random.normal(key, (7, 3, 16))
+        dirs = tf.normalize(jax.random.normal(jax.random.PRNGKey(3), (7, 3)))
+        for act in range(4):
+            masked = sh_utils.eval_sh(3, shs, dirs,
+                                      active_degree=jnp.float32(act))
+            static = sh_utils.eval_sh(act, shs, dirs)
+            np.testing.assert_allclose(masked, static, atol=1e-6)
+        g = jax.grad(lambda s: jnp.sum(sh_utils.eval_sh(
+            3, s, dirs, active_degree=jnp.float32(1)) ** 2))(shs)
+        assert np.all(np.asarray(g)[..., 4:] == 0.0)   # bands 2+ masked
+        assert np.any(np.asarray(g)[..., :4] != 0.0)
+
     def test_parseval_deg3(self):
         """Sum of squared basis values = sum_l (2l+1)/(4 pi) (addition thm)."""
         dirs = tf.normalize(jax.random.normal(jax.random.PRNGKey(1), (100, 3)))
