@@ -163,7 +163,8 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                  checkpoint_interval: int = 0,
                  test_cameras: Optional[List] = None,
                  test_interval: int = 0, vis_interval: int = 0,
-                 auto_grow_instances: bool = True):
+                 auto_grow_instances: bool = True,
+                 white_background: bool = False):
     """Run the stage-1 loop.  Returns (state, opt_state, history)."""
     from svgir_tpu.render.stage1 import render_view_stage1
     from svgir_tpu.train import checkpoint as CK
@@ -226,9 +227,10 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
 
         if it < opt.densify_until_iter:
             n_alive = int(state["alive"].sum())
+            under_cap = n_alive < opt.max_points
             if (it > opt.densify_from_iter
                     and it % opt.densification_interval == 0
-                    and n_alive < opt.max_points):
+                    and under_cap):
                 # grow capacity if nearly full (host-side, rare recompile)
                 cap = state["alive"].shape[0]
                 if n_alive > 0.85 * cap:
@@ -241,7 +243,12 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                 state, opt_state, rep = densify_fn(
                     state, opt_state, sub, extent=extent,
                     max_grad_normal=gnorm_thr, max_screen_size=size_thr)
-            if it % opt.opacity_reset_interval == 0:
+            # reference train.py:209-210: reset on cadence, plus once at
+            # densify_from_iter on white-background scenes; only while the
+            # densification block is live (under the point cap)
+            if under_cap and (
+                    it % opt.opacity_reset_interval == 0
+                    or (white_background and it == opt.densify_from_iter)):
                 params, opt_state = G.reset_opacity(state["params"], opt_state)
                 state = {**state, "params": params}
 

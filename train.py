@@ -120,7 +120,7 @@ def main(argv=None):
             raster_cfg=raster_cfg, spatial_lr_scale=scene.cameras_extent,
             sh_degree=model_cfg.sh_degree, first_iter=first_iter,
             iterations=opt_cfg.iterations, seed=args.seed, callback=cb,
-            **periodic_kw)
+            white_background=model_cfg.white_background, **periodic_kw)
         CK.save_checkpoint(
             os.path.join(out_dir, f"chkpnt{opt_cfg.iterations}.npz"),
             opt_cfg.iterations, state, opt_state)
