@@ -63,6 +63,8 @@ def render_set(out_dir: str, name: str, cameras: List, render_one,
                 d = np.asarray(buf)[0]
                 rng = d.max() - d.min() + 1e-8
                 buf = ((d - d.min()) / rng)[None]
+            elif key in ("normal", "pseudo_normal"):
+                buf = buf * 0.5 + 0.5      # train.py:403 save convention
             save_image(os.path.join(img_dir, f"{idx:05d}_{key}.png"), buf)
 
     out = {

@@ -141,6 +141,48 @@ def main(argv=None):
             extra={k: v for k, v in bake.items()})
         CK.save_model_ply(os.path.join(out_dir, "point_cloud.ply"),
                           state["params"], state["alive"], use_pbr=True)
+    # end-of-run test-set eval (reference eval_render, train.py:246-249 +
+    # :365-426: runs when --eval; renders test views with the final model,
+    # saves buffers, writes metrics — pbr is the metric image in stage 2)
+    if model_cfg.eval and scene.test_cameras:
+        from svgir_tpu.eval.nvs import render_set
+        from svgir_tpu.train.trainer import strip_meta
+        bgj = jnp.asarray(bg)
+        params, alive = state["params"], state["alive"]
+        if not is_pbr:
+            from svgir_tpu.render.stage1 import render_stage1
+
+            @jax.jit
+            def _render(params, alive, cam):
+                return render_stage1(cam, params, bgj,
+                                     opt=opt_cfg, is_training=False,
+                                     alive=alive, cfg=raster_cfg)
+
+            def render_one(cam):
+                return _render(params, alive, strip_meta(cam))
+            buffers = ("render", "normal", "depth", "opacity")
+        else:
+            from svgir_tpu.render.svgss import render_svgss
+
+            @jax.jit
+            def _render(params, alive, bake_s, env_params, cam):
+                return render_svgss(cam, params, bgj, bake=bake_s,
+                                    env_params=env_params,
+                                    opt=opt_cfg, is_training=False,
+                                    alive=alive, cfg=raster_cfg)
+
+            def render_one(cam):
+                res = dict(_render(params, alive, bake,
+                                   env_state["params"], strip_meta(cam)))
+                res["image_render"] = res["render"]
+                res["render"] = res["pbr"]      # metric image (train.py:391)
+                return res
+            buffers = ("render", "image_render", "normal", "base_color",
+                       "roughness", "visibility", "depth", "opacity")
+        metrics = render_set(out_dir, "eval", scene.test_cameras,
+                             render_one, save_buffers=buffers)
+        print("eval:", json.dumps(metrics), flush=True)
+
     print("Training complete.", flush=True)
 
 
