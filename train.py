@@ -34,6 +34,12 @@ def main(argv=None):
     parser.add_argument("--max_instances", type=int, default=1 << 20)
     parser.add_argument("--max_cameras", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    # reference train.py:435: torch.autograd anomaly mode -> jax_debug_nans
+    # (aborts with a traceback at the first NaN-producing primitive).
+    # --gui (live viewer) is the standalone gui.py here; --debug_from
+    # gated a CUDA-kernel snapshot dump and has no JAX meaning.
+    parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
     model_cfg = from_args(ModelConfig, args)
@@ -43,6 +49,8 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
     from svgir_tpu.data.readers import load_scene
     from svgir_tpu.models import gaussians as G
     from svgir_tpu.train import checkpoint as CK
@@ -99,13 +107,14 @@ def main(argv=None):
     log_cb = jsonl_logger(os.path.join(out_dir, "train_log.jsonl"))
     tb_cb = tensorboard_logger(os.path.join(out_dir, "tb"))
 
-    def cb(entry, *args):
+    def cb(entry, *_cb_args):
         log_cb(entry)
         if tb_cb is not None:
             tb_cb(entry)
-        print("  " + "  ".join(f"{k}={v:.4g}" if isinstance(v, float)
-                               else f"{k}={v}" for k, v in entry.items()),
-              flush=True)
+        if not args.quiet:
+            print("  " + "  ".join(f"{k}={v:.4g}" if isinstance(v, float)
+                                   else f"{k}={v}" for k, v in entry.items()),
+                  flush=True)
 
     vis_iv = (pipe_cfg.save_training_vis_iteration
               if pipe_cfg.save_training_vis else 0)
