@@ -63,7 +63,7 @@ def stage1_step():
 
 def main():
     steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "a", "4", "6", "7",
-                                  "9", "5"}
+                                  "9", "b", "5"}
     log("devices:", jax.devices())
     import svgir_tpu.ops.blend_pallas as bp
 
@@ -210,6 +210,48 @@ def main():
             except Exception as exc:
                 log(f"  failed: {exc}")
             del os.environ["SVGIR_BENCH_CAP"]
+
+    if "b" in steps:
+        # tile->image assembly transpose (+ inverse for bwd) costs ~3-4 ms
+        # of the step (copy.202/213 + reshapes in the r2 profile); A/B
+        # alternative formulations on-device
+        log("== b. assembly transpose microbench [2500,17,256] <-> [17,800,800]")
+        import jax.numpy as jnp
+        gy = gx = 50
+        co, tl = 17, 16
+        x = jax.random.normal(jax.random.PRNGKey(0), (gy * gx, co, tl * tl))
+
+        def v_current(x):
+            img = x.reshape(gy, gx, co, tl, tl)
+            return img.transpose(2, 0, 3, 1, 4).reshape(co, gy * tl, gx * tl)
+
+        def v_twostep(x):
+            y = jnp.swapaxes(x, 0, 1)                  # [co, T, P]
+            y = y.reshape(co, gy, gx, tl, tl)
+            return y.transpose(0, 1, 3, 2, 4).reshape(co, gy * tl, gx * tl)
+
+        def v_rowmajor(x):
+            # row-of-tiles at a time: [gy, gx, co, ty, tx] -> per-gy
+            # [co, ty, gx*tx] then stack rows
+            img = x.reshape(gy, gx, co, tl, tl)
+            rows = img.transpose(0, 2, 3, 1, 4).reshape(gy, co, tl,
+                                                        gx * tl)
+            return rows.transpose(1, 0, 2, 3).reshape(co, gy * tl, gx * tl)
+
+        ref = None
+        for name, fn in (("current", v_current), ("twostep", v_twostep),
+                         ("rowmajor", v_rowmajor)):
+            f = jax.jit(fn)
+            out = f(x)
+            if ref is None:
+                ref = out
+            else:
+                assert bool(jnp.all(out == ref)), name
+            log(f"  fwd {name}:")
+            time_step(f, (x,))
+            inv = jax.jit(jax.linear_transpose(fn, x))
+            log(f"  inv {name}:")
+            time_step(lambda im, inv=inv: inv(im)[0], (ref,))
 
     if "9" in steps:
         log("== 9. binner v3 microbench (preprocess+bin, fwd only)")
