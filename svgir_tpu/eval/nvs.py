@@ -75,6 +75,12 @@ def render_set(out_dir: str, name: str, cameras: List, render_one,
     }
     with open(os.path.join(out_dir, name, "metrics.json"), "w") as f:
         json.dump(out, f, indent=2)
+    # reference-layout text twin (eval_nvs.py:86-89 metric_<set>.txt /
+    # train.py:421-424 eval.txt) for drop-in consumers
+    with open(os.path.join(out_dir, f"metric_{name}.txt"), "w") as f:
+        f.write(f"psnr: {out['psnr']}\n")
+        f.write(f"ssim: {out['ssim']}\n")
+        f.write(f"lpips: {out['lpips']}\n")
     return out
 
 
