@@ -226,31 +226,38 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                                   jnp.float32(it), jnp.float32(xyz_lr))
 
         if it < opt.densify_until_iter:
-            n_alive = int(state["alive"].sum())
-            under_cap = n_alive < opt.max_points
-            if (it > opt.densify_from_iter
-                    and it % opt.densification_interval == 0
-                    and under_cap):
-                # grow capacity if nearly full (host-side, rare recompile)
-                cap = state["alive"].shape[0]
-                if n_alive > 0.85 * cap:
-                    state, opt_state = G.grow_capacity(state, opt_state,
-                                                       cap * 2)
-                size_thr = 20.0 if it > opt.opacity_reset_interval else None
-                sub = jax.random.fold_in(key, it)
-                gnorm_thr = (opt.densify_grad_normal_threshold
-                             if it > opt.normal_densify_from_iter else 99999.0)
-                state, opt_state, rep = densify_fn(
-                    state, opt_state, sub, extent=extent,
-                    max_grad_normal=gnorm_thr, max_screen_size=size_thr)
+            at_densify = (it > opt.densify_from_iter
+                          and it % opt.densification_interval == 0)
             # reference train.py:209-210: reset on cadence, plus once at
-            # densify_from_iter on white-background scenes; only while the
-            # densification block is live (under the point cap)
-            if under_cap and (
-                    it % opt.opacity_reset_interval == 0
-                    or (white_background and it == opt.densify_from_iter)):
-                params, opt_state = G.reset_opacity(state["params"], opt_state)
-                state = {**state, "params": params}
+            # densify_from_iter on white-background scenes
+            at_reset = (it % opt.opacity_reset_interval == 0
+                        or (white_background and it == opt.densify_from_iter))
+            if at_densify or at_reset:
+                # host sync only at cadence points — a per-step
+                # int(alive.sum()) would block the async dispatch pipeline
+                # on every iteration of the whole densification phase
+                n_alive = int(state["alive"].sum())
+                under_cap = n_alive < opt.max_points
+                if at_densify and under_cap:
+                    # grow capacity if nearly full (host-side, rare recompile)
+                    cap = state["alive"].shape[0]
+                    if n_alive > 0.85 * cap:
+                        state, opt_state = G.grow_capacity(state, opt_state,
+                                                           cap * 2)
+                    size_thr = (20.0 if it > opt.opacity_reset_interval
+                                else None)
+                    sub = jax.random.fold_in(key, it)
+                    gnorm_thr = (opt.densify_grad_normal_threshold
+                                 if it > opt.normal_densify_from_iter
+                                 else 99999.0)
+                    state, opt_state, rep = densify_fn(
+                        state, opt_state, sub, extent=extent,
+                        max_grad_normal=gnorm_thr, max_screen_size=size_thr)
+                # only while the densification block is live (under the cap)
+                if at_reset and under_cap:
+                    params, opt_state = G.reset_opacity(state["params"],
+                                                        opt_state)
+                    state = {**state, "params": params}
 
         extras = periodic.run(
             it,
