@@ -47,7 +47,8 @@ def build():
     cfg = RasterConfig(
         max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
         chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)),
-        tile=int(os.environ.get("SVGIR_BENCH_TILE", 16)))
+        tile=int(os.environ.get("SVGIR_BENCH_TILE", 16)),
+        strip=int(os.environ.get("SVGIR_BENCH_STRIP", 0)))
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 4)

@@ -147,6 +147,12 @@ class RasterConfig:
     rect_cap: int = 16             # DEPRECATED/ignored: the v3 counting
                                    # binner duplicates unboundedly (exact
                                    # CUDA semantics); kept for API compat
+    strip: int = 0                 # >0: blend kernels read/write IMAGE-
+                                   # layout blocks, `strip` subtiles per
+                                   # grid step (8 -> (co,16,128) aligned
+                                   # blocks); 0: per-tile blocks + XLA
+                                   # assembly transpose. counting binner
+                                   # only.
 
 
 # ---------------------------------------------------------------------------

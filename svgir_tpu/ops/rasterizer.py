@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from svgir_tpu.config import RasterConfig
-from svgir_tpu.ops import blend_pallas, common
+from svgir_tpu.ops import blend_pallas, blend_pallas_strip, common
 from svgir_tpu.ops.binning import (bin_instances,
     bin_instances_counting, pad_to_chunks)
 from svgir_tpu.ops.dense_ref import RenderBuffers
@@ -60,6 +60,74 @@ def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret,
             slab, tile_start, tile_count, g_out, meta, g_wsum, **kw)
         d_slab = jnp.where(inst_valid[:, None], d_slab, 0.0)
         return d_slab, None, None, None
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend
+
+
+def _strip_order(x: jax.Array, gy: int, gx: int, spt: int) -> jax.Array:
+    """Reorder a [gy*gx] per-tile array into padded strip order: rows padded
+    on x to ``strips_x*spt`` columns (fill 0 = empty tile), flattened so the
+    strip kernels' linear subtile index walks it sequentially."""
+    sx = -(-gx // spt)
+    a = x.reshape(gy, gx)
+    a = jnp.pad(a, ((0, 0), (0, sx * spt - gx)))
+    return a.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_blend_gather_strip(ca, cv, gy, grid_x, tile, chunk, n, spt,
+                             interpret, wgrad=True, need_weights=True):
+    """Strip-layout twin of ``_make_blend_gather``: the Pallas kernels read/
+    write IMAGE-layout blocks directly (see blend_pallas_strip), so the
+    [T, CO, 256] <-> [CO, H, W] assembly transposes disappear on both sides
+    of the custom-VJP boundary.  ``tile_start``/``tile_count`` must already
+    be in padded strip order (``_strip_order``)."""
+    kw = dict(ca=ca, cv=cv, gy=gy, grid_x=grid_x, tile=tile, chunk=chunk,
+              spt=spt, interpret=interpret)
+
+    def _safe_idx(gid):
+        return jnp.where(gid >= 0, gid, n)
+
+    def _scatter_reduce_ext(x_inst, gid):
+        out = jnp.zeros((n + 1,) + x_inst.shape[1:], x_inst.dtype)
+        return out.at[_safe_idx(gid)].add(x_inst)
+
+    def _fwd_weights(wsum, gid):
+        if not need_weights:
+            return jnp.zeros((n,), jnp.float32)
+        return _scatter_reduce_ext(wsum[0], gid)[:n]
+
+    @jax.custom_vjp
+    def blend(slab_rows, gid, tile_start, tile_count):
+        slab = slab_rows[_safe_idx(gid)]
+        img, _, wsum = blend_pallas_strip.blend_forward_strip(
+            slab, tile_start, tile_count, emit_wsum=need_weights, **kw)
+        return img, _fwd_weights(wsum, gid)
+
+    def blend_fwd(slab_rows, gid, tile_start, tile_count):
+        slab = slab_rows[_safe_idx(gid)]
+        img, eff, wsum = blend_pallas_strip.blend_forward_strip(
+            slab, tile_start, tile_count, emit_wsum=need_weights, **kw)
+        logt_img = img[ca + cv:ca + cv + 1]
+        res = (slab, gid, tile_start, tile_count, logt_img, eff)
+        return (img, _fwd_weights(wsum, gid)), res
+
+    def blend_bwd(res, cotangents):
+        (slab, gid, tile_start, tile_count, logt_img, eff) = res
+        g_img, g_weights = cotangents
+        if wgrad:
+            g_ext = jnp.concatenate([g_weights, jnp.zeros((1,))])
+            g_wsum = g_ext[_safe_idx(gid)][None]
+        else:
+            g_wsum = None
+        d_inst = blend_pallas_strip.blend_backward_strip(
+            slab, tile_start, tile_count, g_img, logt_img, eff, g_wsum, **kw)
+        kr_real = 12 + ca + 4 * cv
+        w = min(d_inst.shape[1], -(-kr_real // 32) * 32)
+        d_rows_w = _scatter_reduce_ext(d_inst[:, :w], gid)
+        d_rows = jnp.pad(d_rows_w, ((0, 0), (0, d_inst.shape[1] - w)))
+        return (d_rows, None, None, None)
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend
@@ -273,7 +341,17 @@ def rasterize(
 
     slab_g, ca, cv = _pack_slab(prep, opacity, features, vfeatures, cfg)
     n = means3d.shape[0]
-    if padded.order is not None:
+    strip = cfg.strip if padded.order is not None else 0
+    if strip:
+        # image-layout kernel I/O: no tile->image assembly transposes
+        slab_ext = jnp.pad(slab_g, ((0, 1), (0, 0)))
+        ts = _strip_order(padded.tile_start, grid_y, grid_x, strip)
+        tc = _strip_order(padded.tile_count, grid_y, grid_x, strip)
+        blend = _make_blend_gather_strip(ca, cv, grid_y, grid_x, tile,
+                                         cfg.chunk, n, strip, interpret,
+                                         weights_grad, need_weights)
+        img_p, weights = blend(slab_ext, padded.gaussian_id, ts, tc)
+    elif padded.order is not None:
         # one extra all-zero row: padding slots (gid -1) gather it and their
         # gradients scatter back into it — no [M, KR] select passes
         slab_ext = jnp.pad(slab_g, ((0, 1), (0, 0)))
@@ -294,11 +372,14 @@ def rasterize(
         weights = jax.ops.segment_sum(wsum[0], gid, num_segments=n)
 
     # ---- assemble tile blocks into images --------------------------------
-    co = ca + cv + 3
-    img = out.reshape(grid_y, grid_x, co, tile, tile)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(co, grid_y * tile,
-                                               grid_x * tile)
-    img = img[:, :height, :width]
+    if strip:
+        img = img_p[:, :height, :width]
+    else:
+        co = ca + cv + 3
+        img = out.reshape(grid_y, grid_x, co, tile, tile)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(co, grid_y * tile,
+                                                   grid_x * tile)
+        img = img[:, :height, :width]
 
     s = 0 if features is None else features.shape[1]
     color_raw = img[0:3]

@@ -8,6 +8,7 @@ tunnel drop):
   3. stage-1 A/B: chunk 256 / 64
   8. stage-1 A/B: tile=32 (chunk 128 / 64)
   a. stage-1 A/B: max_instances cap 1<<18 / 3<<17
+  c. stage-1 A/B: strip=8 image-layout blend I/O (no assembly transposes)
   4. stage-2 bench (captures the fused vertex matmuls + snug cap)
   6. env-lookup microbench (patch-gather bilinear, fwd+bwd)
   7. consistency-loss microbench (fused hit gather, fwd+bwd)
@@ -62,8 +63,8 @@ def stage1_step():
 
 
 def main():
-    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "a", "4", "6", "7",
-                                  "9", "b", "5"}
+    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "a", "c", "4",
+                                  "6", "7", "9", "b", "5"}
     log("devices:", jax.devices())
     import svgir_tpu.ops.blend_pallas as bp
 
@@ -154,6 +155,19 @@ def main():
                 log(f"  failed: {exc}")
             del os.environ["SVGIR_BENCH_TILE"]
             del os.environ["SVGIR_BENCH_CHUNK"]
+
+    if "c" in steps:
+        # strip-layout blend: image-layout kernel I/O (no assembly
+        # transposes, 8x fewer grid steps, (8,128)-aligned writebacks)
+        import os
+        log("== c. stage-1 strip=8 (image-layout blend I/O)")
+        os.environ["SVGIR_BENCH_STRIP"] = "8"
+        step, args, ready = stage1_step()
+        try:
+            time_step(step, args, ready=ready)
+        except Exception as exc:
+            log(f"  failed: {exc}")
+        del os.environ["SVGIR_BENCH_STRIP"]
 
     if "4" in steps:
         log("== 4. stage-2 (fused vertex matmuls)")
