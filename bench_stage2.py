@@ -49,7 +49,8 @@ def build():
     import os
     cfg = RasterConfig(
         max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
-        chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)))
+        chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)),
+        strip=int(os.environ.get("SVGIR_BENCH_STRIP", 0)))
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 10)

@@ -9,6 +9,7 @@ tunnel drop):
   8. stage-1 A/B: tile=32 (chunk 128 / 64)
   a. stage-1 A/B: max_instances cap 1<<18 / 3<<17
   c. stage-1 A/B: strip=8 image-layout blend I/O (no assembly transposes)
+  d. stage-2 A/B: strip=8
   4. stage-2 bench (captures the fused vertex matmuls + snug cap)
   6. env-lookup microbench (patch-gather bilinear, fwd+bwd)
   7. consistency-loss microbench (fused hit gather, fwd+bwd)
@@ -63,7 +64,7 @@ def stage1_step():
 
 
 def main():
-    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "a", "c", "4",
+    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "a", "c", "4", "d",
                                   "6", "7", "9", "b", "5"}
     log("devices:", jax.devices())
     import svgir_tpu.ops.blend_pallas as bp
@@ -174,6 +175,20 @@ def main():
         import bench_stage2
         s2, a2 = bench_stage2.build()
         time_step(s2, a2, rounds=3, ready=lambda out: out[-1]["loss"])
+
+    if "d" in steps:
+        # stage-2 has CO=29 output channels -> the assembly transposes the
+        # strip layout deletes are ~1.7x bigger than stage-1's
+        import os
+        log("== d. stage-2 strip=8 (image-layout blend I/O)")
+        os.environ["SVGIR_BENCH_STRIP"] = "8"
+        import bench_stage2
+        s2, a2 = bench_stage2.build()
+        try:
+            time_step(s2, a2, rounds=3, ready=lambda out: out[-1]["loss"])
+        except Exception as exc:
+            log(f"  failed: {exc}")
+        del os.environ["SVGIR_BENCH_STRIP"]
 
     if "6" in steps:
         log("== 6. env-lookup microbench (1.2M queries, fwd+bwd)")

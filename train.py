@@ -32,6 +32,9 @@ def main(argv=None):
     parser.add_argument("--checkpoint_interval", type=int, default=5000)
     parser.add_argument("--test_interval", type=int, default=2500)
     parser.add_argument("--max_instances", type=int, default=1 << 20)
+    parser.add_argument("--strip", type=int, default=0,
+                        help="blend kernel image-layout strip width "
+                             "(subtiles/grid step; 0 = per-tile blocks)")
     parser.add_argument("--max_cameras", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
     # reference train.py:435: torch.autograd anomaly mode -> jax_debug_nans
@@ -45,7 +48,8 @@ def main(argv=None):
     model_cfg = from_args(ModelConfig, args)
     pipe_cfg = from_args(PipelineConfig, args)
     opt_cfg = from_args(OptimizationConfig, args)
-    raster_cfg = RasterConfig(max_instances=args.max_instances)
+    raster_cfg = RasterConfig(max_instances=args.max_instances,
+                              strip=args.strip)
 
     import jax
     import jax.numpy as jnp
