@@ -137,7 +137,7 @@ def _dot(a, b, dims):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
-                slab_vmem, wrow_vmem, dma_sem, w_sem,
+                slab_vmem, wrow_vmem, va4_vmem, dma_sem, w_sem,
                 *, chunk, ca, cv, kr, grid_x, tile, emit_wsum=True):
     """Double-buffered chunk pipeline: the slab DMA for chunk c+1 is issued
     before chunk c's compute (2-slot VMEM staging), and the per-chunk weight
@@ -214,13 +214,18 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
             wv = ((1 - m["u"]) * (1 - m["v"]), m["u"] * (1 - m["v"]),
                   (1 - m["u"]) * m["v"], m["u"] * m["v"])
             # one [CV, 4*chunk] x [4*chunk, PIX] contraction instead of four
-            # K=chunk matmuls: vertex blocks concatenated on lanes (cheap
-            # tile-aligned relayout), per-vertex weights folded into the
-            # stacked weight matrix — the kernel is issue-bound, not
-            # FLOP-bound, so fewer/larger MXU ops win
-            va4 = jnp.concatenate(
-                [slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-                 for vtx in range(4)], axis=1)            # [CV, 4*chunk]
+            # K=chunk matmuls: vertex blocks stacked on lanes, per-vertex
+            # weights folded into the stacked weight matrix — the kernel is
+            # issue-bound, not FLOP-bound, so fewer/larger MXU ops win.
+            # The stacking goes through a VMEM scratch: a direct lane-concat
+            # of the slab slices is rejected by Mosaic ("offset mismatch on
+            # non-concat dimension" — cv=13 slices start at different
+            # sublane offsets), while slice STORES relayout for free and the
+            # lane windows are 128-aligned.
+            for vtx in range(4):
+                va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
+                    slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+            va4 = va4_vmem[:, :]                          # [CV, 4*chunk]
             w4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)],
                                  axis=1)                  # [PIX, 4*chunk]
             out_ref[0, ca:ca + cv, :] += _dot(va4, w4, ((1,), (1,)))
@@ -324,6 +329,7 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
             # cross-tile first-chunk prefetch slots
             pltpu.VMEM((4, chunk, kr), jnp.float32),
             pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.VMEM((max(cv, 1), 4 * chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -348,8 +354,8 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
 
 def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
                 meta_ref, gwsum_hbm, dslab_hbm,
-                slab_vmem, grow_vmem, dslab_vmem, dslab_rows, dma_sem,
-                g_sem, d_sem,
+                slab_vmem, grow_vmem, dslab_vmem, dslab_rows, va4_vmem,
+                dma_sem, g_sem, d_sem,
                 *, chunk, ca, cv, kr, grid_x, tile, has_gwsum=True):
     """Reverse sweep: chunks from last to first, reconstructing logT.
 
@@ -460,10 +466,12 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
         if cv:
             u, v = m["u"], m["v"]
             # fused [CV, PIX]^T x [CV, 4*chunk] -> [PIX, 4*chunk]: one MXU op
-            # for all four per-vertex cotangent projections (see _fwd_kernel)
-            va4 = jnp.concatenate(
-                [slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-                 for vtx in range(4)], axis=1)            # [CV, 4*chunk]
+            # for all four per-vertex cotangent projections; stacked via the
+            # VMEM scratch for the same Mosaic layout reason as _fwd_kernel
+            for vtx in range(4):
+                va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
+                    slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+            va4 = va4_vmem[:, :]                          # [CV, 4*chunk]
             mv4 = _dot(g_vf, va4, ((0,), (0,)))           # [PIX, 4*chunk]
             mv = [mv4[:, vtx * chunk:(vtx + 1) * chunk] for vtx in range(4)]
             wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
@@ -622,6 +630,7 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
             pltpu.VMEM((2, 1, chunk), jnp.float32),
             pltpu.VMEM((kr, chunk), jnp.float32),
             pltpu.VMEM((2, chunk, kr), jnp.float32),
+            pltpu.VMEM((max(cv, 1), 4 * chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -48,7 +48,7 @@ def _subtile_coords(i, j, strips_x, spt, grid_x, tile):
 
 
 def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, eff_ref, wsum_hbm,
-                acc_vmem, slab_vmem, wrow_vmem, dma_sem, w_sem,
+                acc_vmem, slab_vmem, wrow_vmem, va4_vmem, dma_sem, w_sem,
                 *, chunk, ca, cv, kr, strips_x, spt, grid_x, tile,
                 emit_wsum=True):
     i = pl.program_id(0)
@@ -114,9 +114,13 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, eff_ref, wsum_hbm,
         if cv:
             wv = ((1 - m["u"]) * (1 - m["v"]), m["u"] * (1 - m["v"]),
                   (1 - m["u"]) * m["v"], m["u"] * m["v"])
-            va4 = jnp.concatenate(
-                [slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-                 for vtx in range(4)], axis=1)
+            # stacked via VMEM scratch: a direct lane-concat of slab
+            # slices is rejected by Mosaic (sublane-offset mismatch); slice
+            # STORES relayout for free (see blend_pallas._fwd_kernel)
+            for vtx in range(4):
+                va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
+                    slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+            va4 = va4_vmem[:, :]
             w4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)], axis=1)
             acc_vmem[ca:ca + cv, :] += _dot(va4, w4, ((1,), (1,)))
 
@@ -224,6 +228,7 @@ def blend_forward_strip(slab: jax.Array, tile_start: jax.Array,
             pltpu.VMEM((co, tile * tile), jnp.float32),
             pltpu.VMEM((4, chunk, kr), jnp.float32),
             pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.VMEM((max(cv, 1), 4 * chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -246,7 +251,7 @@ def blend_forward_strip(slab: jax.Array, tile_start: jax.Array,
 def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gimg_ref,
                 meta_ref, gwsum_hbm, dslab_hbm,
                 gsub_vmem, slab_vmem, grow_vmem, dslab_vmem, dslab_rows,
-                dma_sem, g_sem, d_sem,
+                va4_vmem, dma_sem, g_sem, d_sem,
                 *, chunk, ca, cv, kr, strips_x, spt, grid_x, tile,
                 has_gwsum=True):
     i = pl.program_id(0)
@@ -352,9 +357,13 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gimg_ref,
         d_lamy_row = jnp.zeros((1, chunk), jnp.float32)
         if cv:
             u, v = m["u"], m["v"]
-            va4 = jnp.concatenate(
-                [slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-                 for vtx in range(4)], axis=1)
+            # stacked via VMEM scratch: a direct lane-concat of slab
+            # slices is rejected by Mosaic (sublane-offset mismatch); slice
+            # STORES relayout for free (see blend_pallas._fwd_kernel)
+            for vtx in range(4):
+                va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
+                    slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+            va4 = va4_vmem[:, :]
             mv4 = _dot(g_vf, va4, ((0,), (0,)))
             mv = [mv4[:, vtx * chunk:(vtx + 1) * chunk] for vtx in range(4)]
             wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
@@ -502,6 +511,7 @@ def blend_backward_strip(slab: jax.Array, tile_start: jax.Array,
             pltpu.VMEM((2, 1, chunk), jnp.float32),
             pltpu.VMEM((kr, chunk), jnp.float32),
             pltpu.VMEM((2, chunk, kr), jnp.float32),
+            pltpu.VMEM((max(cv, 1), 4 * chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
