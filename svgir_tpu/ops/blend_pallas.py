@@ -116,10 +116,14 @@ def _tri_lower_incl(g):
 
 
 _PRECISION = {
-    # HIGHEST (bf16_6x) reproduces full f32; HIGH (bf16_3x, ~2x faster MXU)
-    # carries ~1e-6 relative error — far below the 1e-4 parity bar for both
-    # the log-transmittance prefix and the attribute accumulations.
-    "high": jax.lax.Precision.HIGH,
+    # HIGHEST (bf16_6x) reproduces full f32.  A HIGH (bf16_3x) tier would
+    # halve MXU time at ~1e-6 relative error, but Mosaic's in-kernel
+    # dot_general lowering only accepts DEFAULT/HIGHEST ("Unsupported dot
+    # precision: HIGH", measured on the remote compiler) — so "high" maps
+    # to HIGHEST until Pallas grows the 3-pass tier.  DEFAULT (single bf16
+    # pass, ~0.4% error) visibly corrupts the exponentiated transmittance
+    # chain and stays unavailable on purpose.
+    "high": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
 }[__import__("os").environ.get("SVGIR_MXU_PRECISION", "highest").lower()]
 
