@@ -48,7 +48,10 @@ def build():
         max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
         chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)),
         tile=int(os.environ.get("SVGIR_BENCH_TILE", 16)),
-        strip=int(os.environ.get("SVGIR_BENCH_STRIP", 0)))
+        # strip=8 (image-layout blend I/O, no assembly transposes) measured
+        # 36.95 ms vs 38.37 ms per-tile on-chip (tools/exp_r2.py step c,
+        # 2026-08-18) — the A/B'd stage-1 default
+        strip=int(os.environ.get("SVGIR_BENCH_STRIP", 8)))
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 4)
