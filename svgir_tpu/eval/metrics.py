@@ -23,7 +23,10 @@ def psnr(a, b) -> float:
 
 
 def ssim(a, b) -> float:
-    return float(L.ssim(jnp.asarray(a), jnp.asarray(b)))
+    # metric tables always use the f32-faithful MXU tier, independent of
+    # the training-loss SVGIR_SSIM_PRECISION knob
+    return float(L.ssim(jnp.asarray(a), jnp.asarray(b),
+                        precision=jax.lax.Precision.HIGHEST))
 
 
 def mse(a, b) -> float:

@@ -53,7 +53,22 @@ def _band_matrix(n: int, g1d: np.ndarray) -> np.ndarray:
                     0.0).astype(np.float32)
 
 
-def _separable_blur(img: jax.Array, g1d: np.ndarray) -> jax.Array:
+def _ssim_train_precision():
+    """MXU precision tier for the *training-loss* SSIM blur.
+
+    HIGHEST (bf16_6x) is the f32-faithful tier; DEFAULT is one bf16 pass
+    (~3e-3 relative error on the blurred moments) at 6x the MXU rate.
+    Controlled by SVGIR_SSIM_PRECISION ∈ {default, highest} so the
+    speed/accuracy trade can be A/B'd on-chip; eval metrics always use
+    HIGHEST regardless (``precision=`` argument at the call site)."""
+    import os
+    name = os.environ.get("SVGIR_SSIM_PRECISION", "highest").lower()
+    return (jax.lax.Precision.DEFAULT if name == "default"
+            else jax.lax.Precision.HIGHEST)
+
+
+def _separable_blur(img: jax.Array, g1d: np.ndarray,
+                    precision=None) -> jax.Array:
     """Depthwise separable gaussian blur of [C, H, W] as two banded-matrix
     contractions.  XLA lowers the equivalent grouped convolution at C=3 to
     ~0.33 ms/call plus layout copies on TPU; the MXU matmul form runs the
@@ -61,20 +76,26 @@ def _separable_blur(img: jax.Array, g1d: np.ndarray) -> jax.Array:
     h, w = img.shape[-2:]
     bh = jnp.asarray(_band_matrix(h, g1d))
     bw = jnp.asarray(_band_matrix(w, g1d))
-    hp = jax.lax.Precision.HIGHEST
+    hp = precision if precision is not None else jax.lax.Precision.HIGHEST
     out = jnp.einsum("uh,chw->cuw", bh, img, precision=hp)
     return jnp.einsum("cuw,wv->cuv", out, bw, precision=hp)
 
 
-def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
-    """Mean SSIM over a [C, H, W] pair (loss_utils.py:33-64)."""
+def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
+         precision=None) -> jax.Array:
+    """Mean SSIM over a [C, H, W] pair (loss_utils.py:33-64).
+
+    ``precision=None`` resolves to the training tier (see
+    ``_ssim_train_precision``); eval call sites pass HIGHEST explicitly."""
+    if precision is None:
+        precision = _ssim_train_precision()
     g1d = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
                  / (2 * 1.5 ** 2))
     g1d = (g1d / g1d.sum()).astype(np.float32)
     c = img1.shape[0]
     stacked = jnp.concatenate(
         [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
-    blurred = _separable_blur(stacked, g1d)
+    blurred = _separable_blur(stacked, g1d, precision=precision)
     mu1, mu2 = blurred[0:c], blurred[c:2 * c]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     sigma1_sq = blurred[2 * c:3 * c] - mu1_sq

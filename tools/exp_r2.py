@@ -131,14 +131,21 @@ def main():
 
     if "3" in steps:
         # chunk trades per-tile padding (VPU work scales with padded total)
-        # against loop iterations (padded/chunk) — resolve empirically
+        # against loop iterations (padded/chunk) — resolve empirically.
+        # num_instances counts the CHUNK-PADDED per-tile runs, so bigger
+        # chunks need a bigger cap (625 tiles x up-to-chunk/2 extra pad).
         import os
-        for ch in ("256", "64"):
-            log(f"== 3. stage-1 chunk={ch} (HIGHEST)")
+        for ch, cap in (("256", str(1 << 19)), ("64", str(7 << 16))):
+            log(f"== 3. stage-1 chunk={ch} cap={cap} (HIGHEST)")
             os.environ["SVGIR_BENCH_CHUNK"] = ch
-            step, args, ready = stage1_step()
-            time_step(step, args, ready=ready)
-        del os.environ["SVGIR_BENCH_CHUNK"]
+            os.environ["SVGIR_BENCH_CAP"] = cap
+            try:
+                step, args, ready = stage1_step()
+                time_step(step, args, ready=ready)
+            except Exception as exc:
+                log(f"  failed: {exc}")
+            del os.environ["SVGIR_BENCH_CHUNK"]
+            del os.environ["SVGIR_BENCH_CAP"]
 
     if "8" in steps:
         # bigger tiles cut instance counts (rect area shrinks) but grow
@@ -229,7 +236,7 @@ def main():
         # static cap; the v3 exact binner changed the instance count, so
         # re-resolve the snuggest safe cap empirically
         import os
-        for cap in (str(1 << 18), str(3 << 17)):
+        for cap in (str(360448), str(3 << 17)):  # padded need is 345600
             log(f"== a. stage-1 cap={cap}")
             os.environ["SVGIR_BENCH_CAP"] = cap
             step, args, ready = stage1_step()
@@ -280,6 +287,44 @@ def main():
             inv = jax.jit(jax.linear_transpose(fn, x))
             log(f"  inv {name}:")
             time_step(lambda im, inv=inv: inv(im)[0], (ref,))
+
+    if "e" in steps:
+        # SSIM blur precision: HIGHEST = bf16_6x, DEFAULT = 1 bf16 pass at
+        # 6x the MXU rate.  Measure the microbench both ways AND the
+        # value/grad delta, then the full stage-1 step at DEFAULT.
+        log("== e. SSIM precision A/B (800x800 x3ch, fwd+bwd)")
+        import os
+        import jax.numpy as jnp
+        from svgir_tpu.utils import losses as L
+        k = jax.random.split(jax.random.PRNGKey(1), 2)
+        a = jax.random.uniform(k[0], (3, 800, 800))
+        b = jnp.clip(a + 0.05 * jax.random.normal(k[1], (3, 800, 800)), 0, 1)
+
+        def make(prec):
+            return jax.jit(jax.value_and_grad(
+                lambda x: L.ssim(x, b, precision=prec)))
+
+        f_hi = make(jax.lax.Precision.HIGHEST)
+        f_lo = make(jax.lax.Precision.DEFAULT)
+        v_hi, g_hi = f_hi(a)
+        v_lo, g_lo = f_lo(a)
+        gn = float(jnp.linalg.norm(g_hi))
+        log(f"  value: hi={float(v_hi):.6f} lo={float(v_lo):.6f} "
+            f"dv={abs(float(v_hi)-float(v_lo)):.2e}")
+        log(f"  grad: |g_hi|={gn:.4f} "
+            f"rel_dg={float(jnp.linalg.norm(g_lo-g_hi))/max(gn,1e-9):.2e}")
+        log("  micro HIGHEST:")
+        time_step(f_hi, (a,), ready=lambda o: o[0])
+        log("  micro DEFAULT:")
+        time_step(f_lo, (a,), ready=lambda o: o[0])
+        log("  stage-1 step with SVGIR_SSIM_PRECISION=default:")
+        os.environ["SVGIR_SSIM_PRECISION"] = "default"
+        step, args, ready = stage1_step()
+        try:
+            time_step(step, args, ready=ready)
+        except Exception as exc:
+            log(f"  failed: {exc}")
+        del os.environ["SVGIR_SSIM_PRECISION"]
 
     if "9" in steps:
         log("== 9. binner v3 microbench (preprocess+bin, fwd only)")
