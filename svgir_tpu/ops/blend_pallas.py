@@ -53,6 +53,15 @@ from jax.experimental.pallas import tpu as pltpu
 from svgir_tpu.ops.common import ALPHA_MAX, ALPHA_MIN, LOG_T_EPS
 
 NG = 12          # geometry rows in the slab
+
+
+def _vfuse() -> bool:
+    """Whether to lane-concat the four per-vertex matmuls into one wide MXU
+    contraction (default) or issue them separately.  Env-gated
+    (SVGIR_BLEND_UNFUSED=1) so the two formulations can be A/B'd on-chip;
+    read at kernel trace time."""
+    import os
+    return os.environ.get("SVGIR_BLEND_UNFUSED", "0") != "1"
 NEG_INF = -1e30
 
 
@@ -226,13 +235,20 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
             # non-concat dimension" — cv=13 slices start at different
             # sublane offsets), while slice STORES relayout for free and the
             # lane windows are 128-aligned.
-            for vtx in range(4):
-                va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
-                    slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-            va4 = va4_vmem[:, :]                          # [CV, 4*chunk]
-            w4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)],
-                                 axis=1)                  # [PIX, 4*chunk]
-            out_ref[0, ca:ca + cv, :] += _dot(va4, w4, ((1,), (1,)))
+            if _vfuse():
+                for vtx in range(4):
+                    va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
+                        slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+                va4 = va4_vmem[:, :]                      # [CV, 4*chunk]
+                w4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)],
+                                     axis=1)              # [PIX, 4*chunk]
+                out_ref[0, ca:ca + cv, :] += _dot(va4, w4, ((1,), (1,)))
+            else:
+                acc_v = jnp.zeros((cv, w.shape[0]), jnp.float32)
+                for vtx in range(4):
+                    va = slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+                    acc_v += _dot(va, w * wv[vtx], ((1,), (1,)))
+                out_ref[0, ca:ca + cv, :] += acc_v
 
         # async weight-row writeback: drain the copy issued two chunks ago
         # on this slot before overwriting its staging buffer
@@ -472,12 +488,19 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
             # fused [CV, PIX]^T x [CV, 4*chunk] -> [PIX, 4*chunk]: one MXU op
             # for all four per-vertex cotangent projections; stacked via the
             # VMEM scratch for the same Mosaic layout reason as _fwd_kernel
-            for vtx in range(4):
-                va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
-                    slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-            va4 = va4_vmem[:, :]                          # [CV, 4*chunk]
-            mv4 = _dot(g_vf, va4, ((0,), (0,)))           # [PIX, 4*chunk]
-            mv = [mv4[:, vtx * chunk:(vtx + 1) * chunk] for vtx in range(4)]
+            if _vfuse():
+                for vtx in range(4):
+                    va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
+                        slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+                va4 = va4_vmem[:, :]                      # [CV, 4*chunk]
+                mv4 = _dot(g_vf, va4, ((0,), (0,)))       # [PIX, 4*chunk]
+                mv = [mv4[:, vtx * chunk:(vtx + 1) * chunk]
+                      for vtx in range(4)]
+            else:
+                mv = [_dot(g_vf,
+                           slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv,
+                                :], ((0,), (0,)))
+                      for vtx in range(4)]
             wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
             dw += sum(wv[k] * mv[k] for k in range(4))
             d_u = w * ((1 - v) * (mv[1] - mv[0]) + v * (mv[3] - mv[2]))
@@ -539,14 +562,21 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
         if cv:
             u, v = m["u"], m["v"]
             wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
-            # fused: one [CV, PIX] x [PIX, 4*chunk] matmul, then four
-            # lane-aligned slice writes into the v-major d_slab rows
-            wv4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)],
-                                  axis=1)                 # [PIX, 4*chunk]
-            dvf4 = _dot(g_vf, wv4, ((1,), (0,)))          # [CV, 4*chunk]
-            for vtx in range(4):
-                dslab_vmem[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :] = \
-                    dvf4[:, vtx * chunk:(vtx + 1) * chunk]
+            if _vfuse():
+                # fused: one [CV, PIX] x [PIX, 4*chunk] matmul, then four
+                # lane-aligned slice writes into the v-major d_slab rows
+                wv4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)],
+                                      axis=1)             # [PIX, 4*chunk]
+                dvf4 = _dot(g_vf, wv4, ((1,), (0,)))      # [CV, 4*chunk]
+                for vtx in range(4):
+                    dslab_vmem[NG + ca + vtx * cv:
+                               NG + ca + (vtx + 1) * cv, :] = \
+                        dvf4[:, vtx * chunk:(vtx + 1) * chunk]
+            else:
+                for vtx in range(4):
+                    dslab_vmem[NG + ca + vtx * cv:
+                               NG + ca + (vtx + 1) * cv, :] = \
+                        _dot(g_vf, w * wv[vtx], ((1,), (0,)))
 
         # drain the store issued two iterations ago on this slot before
         # overwriting its staging buffer (the d staging is its own 2-slot

@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from svgir_tpu.ops.blend_pallas import (NG, _chunk_math, _dot,
-    _tri_lower_incl, _tri_strict_lower, _tri_strict_upper)
+    _tri_lower_incl, _tri_strict_lower, _tri_strict_upper, _vfuse)
 from svgir_tpu.ops.common import ALPHA_MAX, LOG_T_EPS
 
 
@@ -117,12 +117,20 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, eff_ref, wsum_hbm,
             # stacked via VMEM scratch: a direct lane-concat of slab
             # slices is rejected by Mosaic (sublane-offset mismatch); slice
             # STORES relayout for free (see blend_pallas._fwd_kernel)
-            for vtx in range(4):
-                va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
-                    slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-            va4 = va4_vmem[:, :]
-            w4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)], axis=1)
-            acc_vmem[ca:ca + cv, :] += _dot(va4, w4, ((1,), (1,)))
+            if _vfuse():
+                for vtx in range(4):
+                    va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
+                        slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+                va4 = va4_vmem[:, :]
+                w4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)],
+                                     axis=1)
+                acc_vmem[ca:ca + cv, :] += _dot(va4, w4, ((1,), (1,)))
+            else:
+                acc_v = jnp.zeros((cv, w.shape[0]), jnp.float32)
+                for vtx in range(4):
+                    va = slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+                    acc_v += _dot(va, w * wv[vtx], ((1,), (1,)))
+                acc_vmem[ca:ca + cv, :] += acc_v
 
         if emit_wsum:
             @pl.when(c >= 2)
@@ -360,12 +368,19 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gimg_ref,
             # stacked via VMEM scratch: a direct lane-concat of slab
             # slices is rejected by Mosaic (sublane-offset mismatch); slice
             # STORES relayout for free (see blend_pallas._fwd_kernel)
-            for vtx in range(4):
-                va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
-                    slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
-            va4 = va4_vmem[:, :]
-            mv4 = _dot(g_vf, va4, ((0,), (0,)))
-            mv = [mv4[:, vtx * chunk:(vtx + 1) * chunk] for vtx in range(4)]
+            if _vfuse():
+                for vtx in range(4):
+                    va4_vmem[:, vtx * chunk:(vtx + 1) * chunk] = \
+                        slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :]
+                va4 = va4_vmem[:, :]
+                mv4 = _dot(g_vf, va4, ((0,), (0,)))
+                mv = [mv4[:, vtx * chunk:(vtx + 1) * chunk]
+                      for vtx in range(4)]
+            else:
+                mv = [_dot(g_vf,
+                           slab[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv,
+                                :], ((0,), (0,)))
+                      for vtx in range(4)]
             wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
             dw += sum(wv[k] * mv[k] for k in range(4))
             d_u = w * ((1 - v) * (mv[1] - mv[0]) + v * (mv[3] - mv[2]))
@@ -425,12 +440,19 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gimg_ref,
         if cv:
             u, v = m["u"], m["v"]
             wv = ((1 - u) * (1 - v), u * (1 - v), (1 - u) * v, u * v)
-            wv4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)],
-                                  axis=1)
-            dvf4 = _dot(g_vf, wv4, ((1,), (0,)))
-            for vtx in range(4):
-                dslab_vmem[NG + ca + vtx * cv: NG + ca + (vtx + 1) * cv, :] \
-                    = dvf4[:, vtx * chunk:(vtx + 1) * chunk]
+            if _vfuse():
+                wv4 = jnp.concatenate([w * wv[vtx] for vtx in range(4)],
+                                      axis=1)
+                dvf4 = _dot(g_vf, wv4, ((1,), (0,)))
+                for vtx in range(4):
+                    dslab_vmem[NG + ca + vtx * cv:
+                               NG + ca + (vtx + 1) * cv, :] \
+                        = dvf4[:, vtx * chunk:(vtx + 1) * chunk]
+            else:
+                for vtx in range(4):
+                    dslab_vmem[NG + ca + vtx * cv:
+                               NG + ca + (vtx + 1) * cv, :] \
+                        = _dot(g_vf, w * wv[vtx], ((1,), (0,)))
 
         @pl.when(i_it >= 2)
         def _():
