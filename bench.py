@@ -39,10 +39,11 @@ def build():
 
     # Instance buffers are static-shaped; every gather/scatter/zero-fill in
     # the step scales with this cap, so size it to the scene like the CUDA
-    # reference sizes its dynamic buffers (measured ~345k instances here;
-    # 7<<16 = 458752 leaves 1.33x headroom and is overflow-checked below).
-    # The v3 counting binner duplicates unboundedly (exact CUDA semantics)
-    # — no per-splat tile cap to tune.
+    # reference sizes its dynamic buffers (rasterizer_impl.cu:70-111).  The
+    # cap is auto-probed SNUG below (measured instance count x1.05, the r2
+    # exp matrix's best configuration: 18.6 vs 17.1 Mpix/s at the old fixed
+    # 458752) unless SVGIR_BENCH_CAP pins it.  The v3 counting binner
+    # duplicates unboundedly (exact CUDA semantics) — no per-splat tile cap.
     import os
     cfg = RasterConfig(
         max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
@@ -52,6 +53,7 @@ def build():
         # 36.95 ms vs 38.37 ms per-tile on-chip (tools/exp_r2.py step c,
         # 2026-08-18) — the A/B'd stage-1 default
         strip=int(os.environ.get("SVGIR_BENCH_STRIP", 8)))
+    auto_snug = "SVGIR_BENCH_CAP" not in os.environ
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -72,6 +74,30 @@ def build():
                               image_mask=jnp.ones((1, RES, RES)))
     bg = jnp.zeros(3)
 
+    # instance-count probe: sizes the snug cap AND overflow-checks it
+    from svgir_tpu.models.gaussians import get_rotation, get_scaling
+    from svgir_tpu.ops.binning import bin_instances_counting
+    from svgir_tpu.ops.preprocess import preprocess
+    import dataclasses as _dc
+
+    def probe(params, pcfg):
+        prep = preprocess(
+            params["xyz"], get_scaling(params), get_rotation(params),
+            cam.world_view, cam.full_proj, cam.camera_center,
+            width=RES, height=RES, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            focal_x=cam.focal_x, focal_y=cam.focal_y, cfg=pcfg)
+        binned = bin_instances_counting(prep, width=RES, height=RES, cfg=pcfg,
+                                        rect_cap=pcfg.rect_cap)
+        return binned.num_instances, binned.overflow
+
+    total, overflow = jax.device_get(
+        jax.jit(probe, static_argnums=1)(state["params"], cfg))
+    if auto_snug:
+        snug = -(-int(total) * 21 // (20 * 2048)) * 2048   # x1.05, 2048-mult
+        cfg = _dc.replace(cfg, max_instances=snug)
+    log(f"instances: {int(total)} / cap {cfg.max_instances}")
+    assert not bool(overflow), "max_instances too small for bench scene"
+
     def loss_fn(params, need_weights=True):
         res = render_stage1(cam, params, bg, opt=opt, iteration=1000.0,
                             is_training=True, alive=state["alive"], cfg=cfg,
@@ -84,26 +110,6 @@ def build():
     step_nostats = jax.jit(jax.value_and_grad(
         lambda p: loss_fn(p, need_weights=False)))
     build.step_nostats = step_nostats
-
-    # overflow check: the cap above must cover this scene's instance count
-    from svgir_tpu.models.gaussians import get_rotation, get_scaling
-    from svgir_tpu.ops.binning import bin_instances_counting
-    from svgir_tpu.ops.preprocess import preprocess
-
-    @jax.jit
-    def probe(params):
-        prep = preprocess(
-            params["xyz"], get_scaling(params), get_rotation(params),
-            cam.world_view, cam.full_proj, cam.camera_center,
-            width=RES, height=RES, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
-            focal_x=cam.focal_x, focal_y=cam.focal_y, cfg=cfg)
-        binned = bin_instances_counting(prep, width=RES, height=RES, cfg=cfg,
-                                        rect_cap=cfg.rect_cap)
-        return binned.num_instances, binned.overflow
-
-    total, overflow = jax.device_get(probe(state["params"]))
-    log(f"instances: {int(total)} / cap {cfg.max_instances}")
-    assert not bool(overflow), "max_instances too small for bench scene"
     return step, state["params"]
 
 

@@ -50,7 +50,9 @@ def build():
     cfg = RasterConfig(
         max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
         chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)),
+        tile=int(os.environ.get("SVGIR_BENCH_TILE", 16)),
         strip=int(os.environ.get("SVGIR_BENCH_STRIP", 0)))
+    auto_snug = "SVGIR_BENCH_CAP" not in os.environ
     opt = OptimizationConfig()
 
     k = jax.random.split(jax.random.PRNGKey(0), 10)
@@ -89,6 +91,29 @@ def build():
     gt = jax.random.uniform(k[9], (3, RES, RES))
     cam = dataclasses.replace(cam, image=gt,
                               image_mask=jnp.ones((1, RES, RES)))
+
+    if auto_snug:
+        from svgir_tpu.models.gaussians import get_rotation, get_scaling
+        from svgir_tpu.ops.binning import bin_instances_counting
+        from svgir_tpu.ops.preprocess import preprocess
+
+        def probe(params, pcfg):
+            prep = preprocess(
+                params["xyz"], get_scaling(params), get_rotation(params),
+                cam.world_view, cam.full_proj, cam.camera_center,
+                width=RES, height=RES, tanfovx=cam.tanfovx,
+                tanfovy=cam.tanfovy, focal_x=cam.focal_x,
+                focal_y=cam.focal_y, cfg=pcfg)
+            b = bin_instances_counting(prep, width=RES, height=RES, cfg=pcfg,
+                                       rect_cap=pcfg.rect_cap)
+            return b.num_instances, b.overflow
+
+        total, overflow = jax.device_get(
+            jax.jit(probe, static_argnums=1)(params, cfg))
+        assert not bool(overflow)
+        snug = -(-int(total) * 21 // (20 * 2048)) * 2048   # x1.05, 2048-mult
+        cfg = dataclasses.replace(cfg, max_instances=snug)
+        log(f"instances: {int(total)} / cap {cfg.max_instances}")
 
     lrs = optim.group_lrs(opt, 1.0, use_pbr=True)
     opt_state = optim.adam_init(state["params"])

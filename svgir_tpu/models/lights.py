@@ -18,42 +18,76 @@ import numpy as np
 from svgir_tpu.train import optim
 
 
+_LOOKUP_CHUNK = 65536
+
+
 def _bilinear_lookup(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     """align_corners=True bilinear sample. img [H, W, C]; u, v in pixel
     coords ([0, W-1] / [0, H-1]); out [..., C].
 
-    ONE ``lax.gather`` of 2x2xC patches instead of four scalar-indexed
-    gathers (and one scatter-add instead of four in the VJP) — per-gather
-    overhead dominates on TPU for tiny-row lookups.  Edge handling: the
-    patch start is clamped to H-2/W-2; when the floor cell sits on the last
-    row/column the fractional weight collapses onto the second patch texel
-    (off == 1 -> weight 1), reproducing the clamped-corner duplication of
-    the four-gather form exactly."""
+    MXU formulation — ZERO gathers/scatters.  The bilinear kernel
+    factorizes over rows and columns, so the sample is two dense
+    contractions against 2-tap one-hot weight matrices:
+
+        rows[m, w*c] = Wrow[m, :H] @ img[H, W*C]      (MXU matmul)
+        out[m, c]    = sum_w Wcol[m, w] * rows[m, w, c]
+
+    and the VJP w.r.t. ``img`` is likewise a single ``Wrow^T @ (...)``
+    matmul — no scatter-add.  The previous 2x2xC-patch ``lax.gather``
+    lowered to a per-query scalar loop on TPU (~5.5 us/query: 6.6 s for
+    the 1.2M-query env lookup a stage-2 step performs TWICE —
+    docs/measurements/s2_debug_20260818.log); this runs the same query
+    load in milliseconds (docs/PERF.md "1-D gathers are catastrophic").
+    FLOPs are tiny: 2·M·H·W·C (15 GFLOP at M=1.2M, 32x64 env).
+
+    Queries are processed in ``_LOOKUP_CHUNK`` blocks via ``lax.map`` so
+    the [B, W*C] intermediate stays bounded regardless of M.
+
+    Edge handling matches the reference four-gather form exactly: the
+    floor cell is clamped to H-2/W-2 and when it sat on the last
+    row/column the fractional weight collapses onto the second tap
+    (weight 1), reproducing grid_sample's clamped-corner duplication."""
     h, w = img.shape[0], img.shape[1]
     c = img.shape[2]
-    u0 = jnp.clip(jnp.floor(u), 0, w - 1)
-    v0 = jnp.clip(jnp.floor(v), 0, h - 1)
-    fu = jnp.clip(u - u0, 0.0, 1.0)
-    fv = jnp.clip(v - v0, 0.0, 1.0)
-    u0i = u0.astype(jnp.int32)
-    v0i = v0.astype(jnp.int32)
-    su = jnp.minimum(u0i, w - 2)
-    sv = jnp.minimum(v0i, h - 2)
+    shape = u.shape
+    uf = u.reshape(-1)
+    vf = v.reshape(-1)
+    m = uf.shape[0]
+    img2d = img.reshape(h, w * c)
 
-    idx = jnp.stack([sv, su], axis=-1)                       # [..., 2]
-    nb = idx.ndim - 1
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(nb, nb + 1, nb + 2), collapsed_slice_dims=(),
-        start_index_map=(0, 1))
-    patch = jax.lax.gather(img, idx, dn, slice_sizes=(2, 2, c),
-                           mode=jax.lax.GatherScatterMode.CLIP)  # [...,2,2,C]
+    def block(uv):
+        ub, vb = uv
+        u0 = jnp.clip(jnp.floor(ub), 0, w - 1)
+        v0 = jnp.clip(jnp.floor(vb), 0, h - 1)
+        fu = jnp.clip(ub - u0, 0.0, 1.0)
+        fv = jnp.clip(vb - v0, 0.0, 1.0)
+        u0i = u0.astype(jnp.int32)
+        v0i = v0.astype(jnp.int32)
+        su = jnp.minimum(u0i, w - 2)
+        sv = jnp.minimum(v0i, h - 2)
+        wu1 = jnp.where(u0i > su, 1.0, fu)
+        wv1 = jnp.where(v0i > sv, 1.0, fv)
+        hh = jnp.arange(h, dtype=jnp.int32)
+        ww = jnp.arange(w, dtype=jnp.int32)
+        wrow = ((hh == sv[:, None]) * (1.0 - wv1[:, None])
+                + (hh == sv[:, None] + 1) * wv1[:, None])    # [B, H]
+        wcol = ((ww == su[:, None]) * (1.0 - wu1[:, None])
+                + (ww == su[:, None] + 1) * wu1[:, None])    # [B, W]
+        rows = jnp.matmul(
+            wrow, img2d,
+            precision=jax.lax.Precision.HIGHEST).reshape(-1, w, c)
+        return jnp.einsum("bw,bwc->bc", wcol, rows,
+                          precision=jax.lax.Precision.HIGHEST)
 
-    wu1 = jnp.where(u0i > su, 1.0, fu)
-    wv1 = jnp.where(v0i > sv, 1.0, fv)
-    wcol = jnp.stack([1.0 - wu1, wu1], -1)                   # [..., 2]
-    wrow = jnp.stack([1.0 - wv1, wv1], -1)
-    wgt = wrow[..., :, None] * wcol[..., None, :]            # [..., 2, 2]
-    return jnp.sum(patch * wgt[..., None], axis=(-3, -2))
+    if m <= _LOOKUP_CHUNK:
+        out = block((uf, vf))
+    else:
+        nb = -(-m // _LOOKUP_CHUNK)
+        pad = nb * _LOOKUP_CHUNK - m
+        up = jnp.pad(uf, (0, pad)).reshape(nb, _LOOKUP_CHUNK)
+        vp = jnp.pad(vf, (0, pad)).reshape(nb, _LOOKUP_CHUNK)
+        out = jax.lax.map(block, (up, vp)).reshape(-1, c)[:m]
+    return out.reshape(*shape, c)
 
 
 def _equirect_query(dirs: jax.Array, h: int, w: int):

@@ -31,8 +31,8 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
                   sample_num: int = 64, key: Optional[jax.Array] = None,
                   valid: Optional[jax.Array] = None, k_hits: int = 16,
                   ray_chunk: int = 16384, gauss_chunk: int = 512,
-                  use_grid: Optional[bool] = None, grid_t_max: float = 2.0
-                  ) -> Dict:
+                  use_grid: Optional[bool] = None,
+                  grid_t_max: Optional[float] = None) -> Dict:
     """Trace hemisphere samples for every surfel.
 
     Returns dict: radiance [N,S,3], visibility [N,S,1], incident_dirs
@@ -59,6 +59,20 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
     # parity oracle in tests
     if use_grid is None:
         use_grid = n >= 4096
+    if grid_t_max is None:
+        # march far enough to cross the whole scene: AABB diagonal of the
+        # (alive) surfels + 3-sigma margin.  A fixed range silently stops
+        # rays early on large scenes (the Slang march is unbounded,
+        # intersect_test.slang:1928-1978).
+        import numpy as np
+        m_np = np.asarray(jax.device_get(means))
+        if valid is not None:
+            v_np = np.asarray(jax.device_get(valid)).astype(bool)
+            m_np = m_np[v_np] if v_np.any() else m_np
+        margin = 3.0 * float(np.asarray(jax.device_get(scales)).max())
+        diag = float(np.linalg.norm(m_np.max(0) - m_np.min(0))) \
+            if m_np.size else 1.0
+        grid_t_max = max(diag + 2.0 * margin, 1e-3)
     grid = None
     if use_grid:
         from svgir_tpu.ops import grid_tracer

@@ -55,14 +55,46 @@ from svgir_tpu.ops.common import ALPHA_MAX, ALPHA_MIN, LOG_T_EPS
 NG = 12          # geometry rows in the slab
 
 
+NEG_INF = -1e30
+
+# Read ONCE at import: flipping the env var mid-process would silently keep
+# already-jitted variants stale (each A/B configuration must run in a fresh
+# process, as tools/exp_r2.py does).
+_VFUSE = __import__("os").environ.get("SVGIR_BLEND_UNFUSED", "0") != "1"
+
+
 def _vfuse() -> bool:
     """Whether to lane-concat the four per-vertex matmuls into one wide MXU
-    contraction (default) or issue them separately.  Env-gated
-    (SVGIR_BLEND_UNFUSED=1) so the two formulations can be A/B'd on-chip;
-    read at kernel trace time."""
-    import os
-    return os.environ.get("SVGIR_BLEND_UNFUSED", "0") != "1"
-NEG_INF = -1e30
+    contraction (default) or issue them separately (SVGIR_BLEND_UNFUSED=1,
+    captured at import) so the two formulations can be A/B'd on-chip."""
+    return _VFUSE
+
+
+def wsum_slot(chunk: int) -> int:
+    """Lanes per chunk in the wsum/g_wsum HBM layout.  Mosaic requires DMA
+    slice shapes 128-lane aligned ("Slice shape along dimension 2 must be
+    aligned to tiling (128)", exp_r2e log), so for chunk < 128 each chunk
+    owns a 128-lane slot (first ``chunk`` lanes live, rest zero)."""
+    return max(chunk, 128)
+
+
+def wsum_to_instances(wsum: jax.Array, m: int, chunk: int) -> jax.Array:
+    """[1, (m//chunk)*slot] slot layout -> [1, m] per-instance."""
+    slot = wsum_slot(chunk)
+    if slot == chunk:
+        return wsum
+    return wsum.reshape(m // chunk, slot)[:, :chunk].reshape(1, m)
+
+
+def wsum_from_instances(g: jax.Array, chunk: int) -> jax.Array:
+    """[1, m] per-instance -> [1, (m//chunk)*slot] slot layout (zero pad)."""
+    slot = wsum_slot(chunk)
+    if slot == chunk:
+        return g
+    m = g.shape[1]
+    g2 = g.reshape(m // chunk, chunk)
+    g2 = jnp.pad(g2, ((0, 0), (0, slot - chunk)))
+    return g2.reshape(1, (m // chunk) * slot)
 
 
 def _pixel_coords(t, grid_x, tile):
@@ -183,11 +215,15 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
     def slab_copy(c, slot):
         return slab_copy_at(start + c * chunk, slot)
 
+    # wsum slot layout: chunk gi owns lanes [gi*wslot, gi*wslot + wslot)
+    # (wslot = max(chunk, 128)); offsets stay 128-lane aligned for any chunk
+    wslot = wsum_slot(chunk)
+
     def w_copy(c, slot):
+        gi = start // chunk + c
         return pltpu.make_async_copy(
             wrow_vmem.at[slot],
-            wsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                                 chunk)],
+            wsum_hbm.at[:, pl.ds(pl.multiple_of(gi * wslot, wslot), wslot)],
             w_sem.at[slot])
 
     first = 2 + t % 2      # this tile's first-chunk slot
@@ -257,7 +293,10 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
             def _():
                 w_copy(c - 2, c % 2).wait()
 
-            wrow_vmem[c % 2] = jnp.sum(w, axis=0, keepdims=True)  # [1,chunk]
+            wr = jnp.sum(w, axis=0, keepdims=True)                # [1,chunk]
+            if wslot != chunk:
+                wr = jnp.pad(wr, ((0, 0), (0, wslot - chunk)))
+            wrow_vmem[c % 2] = wr
             w_copy(c, c % 2).start()
 
         return (logT + jnp.sum(m["loga"], axis=1, keepdims=True),
@@ -295,7 +334,7 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, wsum_hbm,
             def _():
                 w_copy(c - 2, slot).wait()
 
-            wrow_vmem[slot] = jnp.zeros((1, chunk), jnp.float32)
+            wrow_vmem[slot] = jnp.zeros((1, wslot), jnp.float32)
             w_copy(c, slot).start()
             return 0
 
@@ -325,7 +364,8 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
     so the producing gather writes contiguously; chunks are transposed to
     [KR, chunk] inside the kernel.  Returns (out [T, CA+CV+3, 256] —
     channel-major: plain accums, vertex accums, final logT, n_contrib,
-    chunks-processed — and wsum [1, M]).
+    chunks-processed — and wsum [1, (M//chunk)*wsum_slot(chunk)] in the
+    slot layout; convert with ``wsum_to_instances``).
 
     ``emit_wsum=False`` skips the per-chunk weight-row writebacks entirely
     (the wsum buffer is returned uninitialized — callers that don't need
@@ -348,7 +388,7 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
             # slots 0/1: steady-state double buffer; 2/3: alternating
             # cross-tile first-chunk prefetch slots
             pltpu.VMEM((4, chunk, kr), jnp.float32),
-            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.VMEM((2, 1, wsum_slot(chunk)), jnp.float32),
             pltpu.VMEM((max(cv, 1), 4 * chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -359,7 +399,8 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles, ca + cv + 3, tile * tile),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, (m // chunk) * wsum_slot(chunk)),
+                                 jnp.float32),
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -416,10 +457,12 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
     def slab_copy(c, slot):
         return slab_copy_at(start + c * chunk, slot)
 
+    wslot = wsum_slot(chunk)   # g_wsum slot layout (see _fwd_kernel w_copy)
+
     def g_copy(c, slot):
+        gi = start // chunk + c
         return pltpu.make_async_copy(
-            gwsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                                  chunk)],
+            gwsum_hbm.at[:, pl.ds(pl.multiple_of(gi * wslot, wslot), wslot)],
             grow_vmem.at[slot], g_sem.at[slot])
 
     def d_copy(c, slot):
@@ -476,7 +519,8 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gout_ref,
         # dL/dw: plain channels + per-instance wsum grads (+ vertex below)
         dw = _dot(g_plain, attrs, ((0,), (0,)))           # [PIX, chunk]
         if has_gwsum:
-            dw += grow_vmem[i % 2]                        # broadcast [1,chunk]
+            # broadcast [1, chunk] (first chunk lanes of the wslot row)
+            dw += grow_vmem[i % 2][:, :chunk]
 
         # ---- vertex path ----
         d_du0 = jnp.zeros_like(w)
@@ -637,7 +681,7 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
     m, kr = slab.shape
     has_gwsum = g_wsum is not None
     if not has_gwsum:
-        g_wsum = jnp.zeros((1, chunk), jnp.float32)
+        g_wsum = jnp.zeros((1, wsum_slot(chunk)), jnp.float32)
     kernel = functools.partial(_bwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
                                grid_x=grid_x, tile=tile,
                                has_gwsum=has_gwsum)
@@ -661,7 +705,7 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
             # slots 0/1: steady-state double buffer; 2/3: alternating
             # cross-tile first-chunk prefetch slots
             pltpu.VMEM((4, chunk, kr), jnp.float32),
-            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.VMEM((2, 1, wsum_slot(chunk)), jnp.float32),
             pltpu.VMEM((kr, chunk), jnp.float32),
             pltpu.VMEM((2, chunk, kr), jnp.float32),
             pltpu.VMEM((max(cv, 1), 4 * chunk), jnp.float32),

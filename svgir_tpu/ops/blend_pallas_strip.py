@@ -33,7 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from svgir_tpu.ops.blend_pallas import (NG, _chunk_math, _dot,
-    _tri_lower_incl, _tri_strict_lower, _tri_strict_upper, _vfuse)
+    _tri_lower_incl, _tri_strict_lower, _tri_strict_upper, _vfuse,
+    wsum_slot)
 from svgir_tpu.ops.common import ALPHA_MAX, LOG_T_EPS
 
 
@@ -71,11 +72,14 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, eff_ref, wsum_hbm,
     def slab_copy(c, slot):
         return slab_copy_at(start + c * chunk, slot)
 
+    # wsum slot layout (see blend_pallas.wsum_slot): 128-lane aligned
+    wslot = wsum_slot(chunk)
+
     def w_copy(c, slot):
+        gi = start // chunk + c
         return pltpu.make_async_copy(
             wrow_vmem.at[slot],
-            wsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                                 chunk)],
+            wsum_hbm.at[:, pl.ds(pl.multiple_of(gi * wslot, wslot), wslot)],
             w_sem.at[slot])
 
     first = 2 + t_lin % 2
@@ -137,7 +141,10 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, eff_ref, wsum_hbm,
             def _():
                 w_copy(c - 2, c % 2).wait()
 
-            wrow_vmem[c % 2] = jnp.sum(w, axis=0, keepdims=True)
+            wr = jnp.sum(w, axis=0, keepdims=True)
+            if wslot != chunk:
+                wr = jnp.pad(wr, ((0, 0), (0, wslot - chunk)))
+            wrow_vmem[c % 2] = wr
             w_copy(c, c % 2).start()
 
         return (logT + jnp.sum(m["loga"], axis=1, keepdims=True),
@@ -168,7 +175,7 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, out_ref, eff_ref, wsum_hbm,
             def _():
                 w_copy(c - 2, slot).wait()
 
-            wrow_vmem[slot] = jnp.zeros((1, chunk), jnp.float32)
+            wrow_vmem[slot] = jnp.zeros((1, wslot), jnp.float32)
             w_copy(c, slot).start()
             return 0
 
@@ -235,7 +242,7 @@ def blend_forward_strip(slab: jax.Array, tile_start: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((co, tile * tile), jnp.float32),
             pltpu.VMEM((4, chunk, kr), jnp.float32),
-            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.VMEM((2, 1, wsum_slot(chunk)), jnp.float32),
             pltpu.VMEM((max(cv, 1), 4 * chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -247,7 +254,8 @@ def blend_forward_strip(slab: jax.Array, tile_start: jax.Array,
             jax.ShapeDtypeStruct((co, gy * tile, strips_x * spt * tile),
                                  jnp.float32),
             jax.ShapeDtypeStruct((nstrips * spt, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, (m // chunk) * wsum_slot(chunk)),
+                                 jnp.float32),
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -299,10 +307,12 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gimg_ref,
     def slab_copy(c, slot):
         return slab_copy_at(start + c * chunk, slot)
 
+    wslot = wsum_slot(chunk)   # g_wsum slot layout (blend_pallas.wsum_slot)
+
     def g_copy(c, slot):
+        gi = start // chunk + c
         return pltpu.make_async_copy(
-            gwsum_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                                  chunk)],
+            gwsum_hbm.at[:, pl.ds(pl.multiple_of(gi * wslot, wslot), wslot)],
             grow_vmem.at[slot], g_sem.at[slot])
 
     def d_copy(c, slot):
@@ -357,7 +367,8 @@ def _bwd_kernel(starts_ref, counts_ref, eff_ref, slab_hbm, gimg_ref,
         attrs = slab[NG:NG + ca, :]
         dw = _dot(g_plain, attrs, ((0,), (0,)))
         if has_gwsum:
-            dw += grow_vmem[i_it % 2]
+            # first chunk lanes of the wslot row
+            dw += grow_vmem[i_it % 2][:, :chunk]
 
         d_du0 = jnp.zeros_like(w)
         d_du1 = jnp.zeros_like(w)
@@ -508,7 +519,7 @@ def blend_backward_strip(slab: jax.Array, tile_start: jax.Array,
     co = g_img.shape[0]
     has_gwsum = g_wsum is not None
     if not has_gwsum:
-        g_wsum = jnp.zeros((1, chunk), jnp.float32)
+        g_wsum = jnp.zeros((1, wsum_slot(chunk)), jnp.float32)
     kernel = functools.partial(_bwd_kernel, chunk=chunk, ca=ca, cv=cv, kr=kr,
                                strips_x=strips_x, spt=spt, grid_x=grid_x,
                                tile=tile, has_gwsum=has_gwsum)
@@ -530,7 +541,7 @@ def blend_backward_strip(slab: jax.Array, tile_start: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((ca + cv + 2, tile * tile), jnp.float32),
             pltpu.VMEM((4, chunk, kr), jnp.float32),
-            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.VMEM((2, 1, wsum_slot(chunk)), jnp.float32),
             pltpu.VMEM((kr, chunk), jnp.float32),
             pltpu.VMEM((2, chunk, kr), jnp.float32),
             pltpu.VMEM((max(cv, 1), 4 * chunk), jnp.float32),

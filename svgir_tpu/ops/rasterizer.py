@@ -36,16 +36,20 @@ def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret,
     kw = dict(ca=ca, cv=cv, num_tiles=num_tiles, grid_x=grid_x, tile=tile,
               chunk=chunk, interpret=interpret)
 
+    def _wsum_inst(wsum, slab):
+        return blend_pallas.wsum_to_instances(wsum, slab.shape[0], chunk)
+
     @jax.custom_vjp
     def blend(slab, tile_start, tile_count, inst_valid):
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
-        return out, jnp.where(inst_valid[None, :], wsum, 0.0)
+        return out, jnp.where(inst_valid[None, :], _wsum_inst(wsum, slab),
+                              0.0)
 
     def blend_fwd(slab, tile_start, tile_count, inst_valid):
         out, wsum = blend_pallas.blend_forward(slab, tile_start, tile_count,
                                                **kw)
-        wsum = jnp.where(inst_valid[None, :], wsum, 0.0)
+        wsum = jnp.where(inst_valid[None, :], _wsum_inst(wsum, slab), 0.0)
         meta = out[:, ca + cv:ca + cv + 3, :]
         return (out, wsum), (slab, tile_start, tile_count, inst_valid, meta)
 
@@ -54,6 +58,7 @@ def _make_blend(ca, cv, num_tiles, grid_x, tile, chunk, interpret,
         g_out, g_wsum = cotangents
         if wgrad:
             g_wsum = jnp.where(inst_valid[None, :], g_wsum, 0.0)
+            g_wsum = blend_pallas.wsum_from_instances(g_wsum, chunk)
         else:
             g_wsum = None
         d_slab = blend_pallas.blend_backward(
@@ -96,6 +101,7 @@ def _make_blend_gather_strip(ca, cv, gy, grid_x, tile, chunk, n, spt,
     def _fwd_weights(wsum, gid):
         if not need_weights:
             return jnp.zeros((n,), jnp.float32)
+        wsum = blend_pallas.wsum_to_instances(wsum, gid.shape[0], chunk)
         return _scatter_reduce_ext(wsum[0], gid)[:n]
 
     @jax.custom_vjp
@@ -118,7 +124,8 @@ def _make_blend_gather_strip(ca, cv, gy, grid_x, tile, chunk, n, spt,
         g_img, g_weights = cotangents
         if wgrad:
             g_ext = jnp.concatenate([g_weights, jnp.zeros((1,))])
-            g_wsum = g_ext[_safe_idx(gid)][None]
+            g_wsum = blend_pallas.wsum_from_instances(
+                g_ext[_safe_idx(gid)][None], chunk)
         else:
             g_wsum = None
         d_inst = blend_pallas_strip.blend_backward_strip(
@@ -173,6 +180,7 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         # in-kernel writebacks AND this [M]->[N] scatter
         if not need_weights:
             return jnp.zeros((n,), jnp.float32)
+        wsum = blend_pallas.wsum_to_instances(wsum, gid.shape[0], chunk)
         return _scatter_reduce_ext(wsum[0], gid)[:n]
 
     @jax.custom_vjp
@@ -199,7 +207,8 @@ def _make_blend_gather(ca, cv, num_tiles, grid_x, tile, chunk, n, m, rc,
         if wgrad:
             # per-instance wsum cotangent = its gaussian's weights cotangent
             g_ext = jnp.concatenate([g_weights, jnp.zeros((1,))])
-            g_wsum = g_ext[_safe_idx(gid)][None]
+            g_wsum = blend_pallas.wsum_from_instances(
+                g_ext[_safe_idx(gid)][None], chunk)
         else:
             g_wsum = None
         d_inst = blend_pallas.blend_backward(

@@ -253,6 +253,19 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                     state, opt_state, rep = densify_fn(
                         state, opt_state, sub, extent=extent,
                         max_grad_normal=gnorm_thr, max_screen_size=size_thr)
+                    # children beyond the free slots are dropped by the
+                    # fixed-shape scatter — never silently: warn and grow
+                    # capacity so the next cadence has room (symmetric with
+                    # _grow_instance_cap; the 85% pre-grow above makes this
+                    # a rare backstop)
+                    if bool(rep["out_of_capacity"]):
+                        cap = state["alive"].shape[0]
+                        print(f"WARNING: densify out of capacity at iter "
+                              f"{it} (cap {cap}): some clone/split children "
+                              f"were dropped; growing capacity -> {cap * 2}",
+                              flush=True)
+                        state, opt_state = G.grow_capacity(state, opt_state,
+                                                           cap * 2)
                 # only while the densification block is live (under the cap)
                 if at_reset and under_cap:
                     params, opt_state = G.reset_opacity(state["params"],
@@ -498,10 +511,17 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
 
 
 def bake_radiance_compact(params, alive, *, sample_num: int, key=None,
-                          **bake_kw):
+                          k_hits: int = 16, max_k_hits: int = 128,
+                          exhausted_tol: float = 0.01, **bake_kw):
     """Bake only over ALIVE gaussians (the padded capacity can be several
     times the live count after pruning), then re-expand the buffers to
-    capacity indexing, remapping hit indices back to capacity rows."""
+    capacity indexing, remapping hit indices back to capacity rows.
+
+    Rays whose K-hit list overflowed (``exhausted``) composite a truncated
+    radiance; the Slang march has no such cap (intersect_test.slang:
+    1928-1978).  When more than ``exhausted_tol`` of rays overflow, warn
+    and re-bake with doubled ``k_hits`` (up to ``max_k_hits``) — never
+    silently truncate."""
     from svgir_tpu.models import radiance as RAD
 
     cap = alive.shape[0]
@@ -510,10 +530,21 @@ def bake_radiance_compact(params, alive, *, sample_num: int, key=None,
 
     sub = {k: params[k][idx] for k in
            ("xyz", "scaling", "rotation", "opacity", "shs_dc", "shs_rest")}
-    bake_c = RAD.bake_radiance(
-        sub["xyz"], G.get_scaling(sub), G.get_rotation(sub),
-        G.get_opacity(sub)[:, 0], G.get_shs(sub),
-        sample_num=sample_num, key=key, **bake_kw)
+    while True:
+        bake_c = RAD.bake_radiance(
+            sub["xyz"], G.get_scaling(sub), G.get_rotation(sub),
+            G.get_opacity(sub)[:, 0], G.get_shs(sub),
+            sample_num=sample_num, key=key, k_hits=k_hits, **bake_kw)
+        frac = float(jax.device_get(bake_c["exhausted_frac"]))
+        if frac <= exhausted_tol or k_hits >= max_k_hits:
+            if frac > exhausted_tol:
+                print(f"WARNING: radiance bake still has {frac:.1%} "
+                      f"exhausted rays at k_hits={k_hits} (max reached)",
+                      flush=True)
+            break
+        print(f"WARNING: {frac:.1%} of bake rays exhausted the {k_hits}-hit "
+              f"list; re-baking with k_hits={k_hits * 2}", flush=True)
+        k_hits *= 2
 
     s = sample_num
 

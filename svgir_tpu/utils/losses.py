@@ -57,12 +57,18 @@ def _ssim_train_precision():
     """MXU precision tier for the *training-loss* SSIM blur.
 
     HIGHEST (bf16_6x) is the f32-faithful tier; DEFAULT is one bf16 pass
-    (~3e-3 relative error on the blurred moments) at 6x the MXU rate.
-    Controlled by SVGIR_SSIM_PRECISION ∈ {default, highest} so the
-    speed/accuracy trade can be A/B'd on-chip; eval metrics always use
-    HIGHEST regardless (``precision=`` argument at the call site)."""
+    (~3e-3 relative error on the blurred moments, 1.8e-2 relative grad
+    delta on the full loss) at 6x the MXU rate — measured +0.5 Mpix/s on
+    the stage-1 step (tools/exp_r2.py step "e", 2026-08-18), shipped as
+    the TRAINING default.  Controlled by SVGIR_SSIM_PRECISION ∈
+    {default, highest}; eval metrics always use HIGHEST regardless
+    (``precision=`` argument at the call site, eval/metrics.py).
+
+    Read at TRACE time: flipping the env var affects only functions traced
+    afterwards — an already-jitted step keeps its tier.  A/B harnesses must
+    build a fresh step per configuration (tools/exp_r2.py step "e" does)."""
     import os
-    name = os.environ.get("SVGIR_SSIM_PRECISION", "highest").lower()
+    name = os.environ.get("SVGIR_SSIM_PRECISION", "default").lower()
     return (jax.lax.Precision.DEFAULT if name == "default"
             else jax.lax.Precision.HIGHEST)
 

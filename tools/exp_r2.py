@@ -8,6 +8,7 @@ tunnel drop):
   3. stage-1 A/B: chunk 256 / 64
   8. stage-1 A/B: tile=32 (chunk 128 / 64)
   a. stage-1 A/B: max_instances cap 1<<18 / 3<<17
+  e. stage-1 A/B: SSIM blur MXU precision (HIGHEST / DEFAULT)
   c. stage-1 A/B: strip=8 image-layout blend I/O (no assembly transposes)
   d. stage-2 A/B: strip=8
   4. stage-2 bench (captures the fused vertex matmuls + snug cap)
@@ -64,8 +65,8 @@ def stage1_step():
 
 
 def main():
-    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "a", "c", "4", "d",
-                                  "6", "7", "9", "b", "5"}
+    steps = set(sys.argv[1:]) or {"0", "1", "2", "3", "8", "a", "c", "4",
+                                  "d", "e", "6", "7", "9", "b", "5"}
     log("devices:", jax.devices())
     import svgir_tpu.ops.blend_pallas as bp
 
@@ -319,12 +320,13 @@ def main():
         time_step(f_lo, (a,), ready=lambda o: o[0])
         log("  stage-1 step with SVGIR_SSIM_PRECISION=default:")
         os.environ["SVGIR_SSIM_PRECISION"] = "default"
-        step, args, ready = stage1_step()
         try:
+            step, args, ready = stage1_step()
             time_step(step, args, ready=ready)
         except Exception as exc:
             log(f"  failed: {exc}")
-        del os.environ["SVGIR_SSIM_PRECISION"]
+        finally:
+            del os.environ["SVGIR_SSIM_PRECISION"]
 
     if "9" in steps:
         log("== 9. binner v3 microbench (preprocess+bin, fwd only)")
