@@ -48,7 +48,7 @@ def build():
     cfg = RasterConfig(
         max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
         chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)),
-        tile=int(os.environ.get("SVGIR_BENCH_TILE", 16)),
+        tile=int(os.environ.get("SVGIR_BENCH_TILE", 32)),
         # strip=8 (image-layout blend I/O, no assembly transposes) measured
         # 36.95 ms vs 38.37 ms per-tile on-chip (tools/exp_r2.py step c,
         # 2026-08-18) — the A/B'd stage-1 default
@@ -90,13 +90,17 @@ def build():
                                         rect_cap=pcfg.rect_cap)
         return binned.num_instances, binned.overflow
 
-    total, overflow = jax.device_get(
-        jax.jit(probe, static_argnums=1)(state["params"], cfg))
+    # probe at a deliberately huge cap so the count is exact for ANY
+    # tile/chunk (padding inflates with both); the snug cap derives from it
+    total, overflow = jax.device_get(jax.jit(probe, static_argnums=1)(
+        state["params"], _dc.replace(cfg, max_instances=1 << 21)))
+    assert not bool(overflow), "probe cap too small for bench scene"
     if auto_snug:
         snug = -(-int(total) * 21 // (20 * 2048)) * 2048   # x1.05, 2048-mult
         cfg = _dc.replace(cfg, max_instances=snug)
     log(f"instances: {int(total)} / cap {cfg.max_instances}")
-    assert not bool(overflow), "max_instances too small for bench scene"
+    assert int(total) <= cfg.max_instances, \
+        "max_instances too small for bench scene"
 
     def loss_fn(params, need_weights=True):
         res = render_stage1(cam, params, bg, opt=opt, iteration=1000.0,

@@ -47,6 +47,10 @@ def build():
     # 345600 instances: the same snug cap applies (every instance-space
     # gather/scatter/kernel pass scales with the static cap, not the count)
     import os
+    # tile=16: the stage-2 render path clamps tile to 16 regardless (VS=52
+    # backward exceeds the 16 MB scoped-VMEM budget at tile 32 — see
+    # render/svgss.py::_clamp_svgss_tile); the probe must bin with the tile
+    # the kernel will actually use or the snug cap comes out 3x too small
     cfg = RasterConfig(
         max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
         chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)),
@@ -108,8 +112,8 @@ def build():
                                        rect_cap=pcfg.rect_cap)
             return b.num_instances, b.overflow
 
-        total, overflow = jax.device_get(
-            jax.jit(probe, static_argnums=1)(params, cfg))
+        total, overflow = jax.device_get(jax.jit(probe, static_argnums=1)(
+            params, dataclasses.replace(cfg, max_instances=1 << 21)))
         assert not bool(overflow)
         snug = -(-int(total) * 21 // (20 * 2048)) * 2048   # x1.05, 2048-mult
         cfg = dataclasses.replace(cfg, max_instances=snug)

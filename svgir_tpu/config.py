@@ -140,7 +140,16 @@ class RasterConfig:
     surface: bool = True
     normalize_depth: bool = True
     per_pixel_depth: bool = True
-    tile: int = 16                 # BLOCK_X/BLOCK_Y, svgss config.h
+    tile: int = 32                 # pixel block edge.  The CUDA reference
+                                   # uses 16 (svgss config.h BLOCK_X/Y,
+                                   # sized to its 256-thread blocks); on
+                                   # TPU the VPU/MXU want fatter blocks:
+                                   # 32 (1024 px) measured 23.1 ms vs
+                                   # 32.1 ms stage-1 fwd+bwd — 3x fewer
+                                   # tile instances AND fewer, larger
+                                   # kernel iterations (tools/exp_r3.py,
+                                   # 2026-08-19).  Rect culling follows
+                                   # the tile grid, as in the reference.
     max_instances: int = 1 << 21   # padded (tile,depth)-sorted instance buffer
     chunk: int = 128               # blend kernel: splats staged per inner step
     binner: str = "counting"       # "counting" (sort-free) or "sort"

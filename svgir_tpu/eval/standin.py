@@ -227,6 +227,7 @@ def run_standin_parity(*, n_gt=400, n_views=12, res=48, sample_num=8,
                                    test_cams[0].image_mask)
 
     vals = []
+    vals_albedo = []
     for cam, gt_cam in zip(test_cams, gt2_test):
         r = render_svgss(cam, p_rel, jnp.zeros(3), bake=bake2s,
                          env_params=None, env_fn=env2_fn,
@@ -234,10 +235,18 @@ def run_standin_parity(*, n_gt=400, n_views=12, res=48, sample_num=8,
                          alive=state["alive"], cfg=cfg,
                          base_color_scale=scale)
         vals.append(_psnr(r["pbr"], gt_cam.image))
+        # albedo buffer vs the TRUE model's (median-rescaled, the relight
+        # flow's distinguishing metric — eval_relighting_tensoIR.py:367-409)
+        gt_r = render_svgss(cam, gt_p, jnp.zeros(3), bake=gt_bake,
+                            env_params=None, env_fn=env2_fn,
+                            opt=OptimizationConfig(), is_training=False,
+                            alive=gt_state["alive"], cfg=cfg)
+        vals_albedo.append(_psnr(r["base_color"], gt_r["base_color"]))
     out["relight_psnr"] = float(np.mean(vals))
+    out["albedo_psnr"] = float(np.mean(vals_albedo))
     if verbose:
-        print(f"relight: psnr vs GT under env2 {out['relight_psnr']:.2f}",
-              flush=True)
+        print(f"relight: psnr vs GT under env2 {out['relight_psnr']:.2f} "
+              f"albedo {out['albedo_psnr']:.2f}", flush=True)
     return out
 
 

@@ -159,3 +159,103 @@ def make_dp_train_step(mesh: Mesh, opt: OptimizationConfig,
         return new_state, opt_state, {"loss": loss, "psnr": psnr}
 
     return step
+
+
+def make_dp_svgss_train_step(mesh: Mesh, opt: OptimizationConfig,
+                             raster_cfg: RasterConfig, bg, *,
+                             sh_degree: int = 3,
+                             lrs: Optional[Dict[str, float]] = None):
+    """Stage-2 (render_relight) DP train step: one camera per device, the
+    full deferred-PBR forward/loss locally, gaussian AND env-map gradients
+    psum'd over the ``data`` axis, replicated joint Adam (the multi-view
+    generalization of trainer.make_svgss_train_step; bake buffers are
+    replicated — they refresh on the host bake cadence, not per step)."""
+    from svgir_tpu.render.svgss import render_svgss
+
+    bg = jnp.asarray(bg)
+    axis = mesh.axis_names[0]
+
+    def per_device(params, alive, cam_batch, bake, env_params, env_opt,
+                   iteration, xyz_lr, radiance_lr, lls_weight, opt_state):
+        cam = index_camera(cam_batch, 0)   # local batch of 1
+
+        def loss_fn(p, env_p):
+            res = render_svgss(cam, p, bg, bake=bake, env_params=env_p,
+                               opt=opt, iteration=iteration,
+                               is_training=True, alive=alive,
+                               sh_degree=sh_degree,
+                               lambda_local_lights_smooth=lls_weight,
+                               cfg=raster_cfg)
+            return res["loss"], res
+
+        (loss, res), (gp, genv) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, env_params)
+        gp = jax.lax.pmean(gp, axis)
+        genv = jax.lax.pmean(genv, axis)   # env grads all-reduced over ICI
+        loss = jax.lax.pmean(loss, axis)
+
+        step_lrs = {**(lrs or {}), "xyz": xyz_lr, "radiances": radiance_lr}
+        params, opt_state = optim.adam_step(params, gp, opt_state, step_lrs)
+        env_params, env_opt = optim.adam_step(env_params, genv, env_opt,
+                                              {"env": opt.env_lr})
+        psnr = jax.lax.pmean(res["tb_dict"]["psnr"], axis)
+        return params, opt_state, env_params, env_opt, loss, psnr
+
+    @jax.jit
+    def step(state, opt_state, env_state, bake, cam_batch, iteration,
+             xyz_lr, radiance_lr, lls_weight):
+        fn = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(), P(), P(), P(), P(), P(), P(),
+                      P()),
+            out_specs=(P(),) * 6, check_vma=False)
+        params, new_opt, env_p, env_o, loss, psnr = fn(
+            state["params"], state["alive"], cam_batch, bake,
+            env_state["params"], env_state["opt"], iteration, xyz_lr,
+            radiance_lr, lls_weight, opt_state)
+        new_state = {"params": params, "alive": state["alive"],
+                     "stats": state["stats"]}
+        return (new_state, new_opt, {"params": env_p, "opt": env_o},
+                {"loss": loss, "psnr": psnr})
+
+    return step
+
+
+def bake_radiance_sharded(mesh: Mesh, axis: str, means, scales, quats,
+                          opacity, shs, *, sample_num: int, key=None,
+                          k_hits: int = 8, gauss_chunk: int = 256) -> Dict:
+    """Gaussian-sharded radiance bake: the N*S hemisphere rays are sharded
+    over ``axis`` (each device traces its gaussians' rays against the
+    REPLICATED surfel geometry — rays are independent, so the only
+    collective is the implicit output all-gather).  Identical outputs to
+    ``models.radiance.bake_radiance(use_grid=False)``; N*S must divide the
+    mesh size."""
+    from svgir_tpu.ops import tracing
+    from svgir_tpu.utils.graphics import fibonacci_sphere_sampling
+
+    n = means.shape[0]
+    s = sample_num
+    geo = tracing.build_surfel_geometry(means, scales, quats, opacity)
+    dirs, areas = fibonacci_sphere_sampling(geo.normal, s, key=key)
+    rays_o = jnp.repeat(means, s, axis=0)
+    rays_d = dirs.reshape(-1, 3)
+    self_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), s)
+
+    def local(geo_, shs_, means_, o, d, si):
+        hits = tracing.nearest_hits(geo_, o, d, chunk=gauss_chunk, k=k_hits)
+        return tracing.radiance_march(hits, si, shs_, means_, o)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+                   out_specs=P(axis), check_vma=False)
+    with jax.set_mesh(mesh):
+        cat = jax.jit(fn)(geo, shs, means, rays_o, rays_d, self_idx)
+    return {
+        "radiance": cat["radiance"].reshape(n, s, 3),
+        "visibility": cat["visibility"].reshape(n, s, 1),
+        "incident_dirs": dirs,
+        "incident_areas": areas,
+        "hit_idx": cat["first_hit"].reshape(n, s),
+        "uv": cat["first_uv"].reshape(n, s, 2),
+        "exhausted_frac": cat["exhausted"].mean(),
+    }

@@ -28,6 +28,23 @@ from svgir_tpu.utils.transforms import normalize
 from svgir_tpu.render.stage1 import _maxpool9
 
 
+def _clamp_svgss_tile(cfg: RasterConfig) -> RasterConfig:
+    """Stage-2 renders VS=52 vertex channels; the blend backward at
+    tile=32 needs ~19 MB of scoped VMEM against the ~16 MB/core budget
+    (measured OOM, 2026-08-19: "Scoped allocation with size 19.04M and
+    limit 16.00M exceeded"), so the stage-1 default tile=32 is clamped
+    to 16 here — the single entry point every stage-2 rasterize passes
+    through.  SVGIR_SVGSS_TILE overrides for kernel experiments."""
+    import dataclasses
+    import os
+    forced = os.environ.get("SVGIR_SVGSS_TILE")
+    if forced:
+        return dataclasses.replace(cfg, tile=int(forced))
+    if cfg.tile > 16:
+        return dataclasses.replace(cfg, tile=16)
+    return cfg
+
+
 def render_view_svgss(camera, params, bake: Dict, env_params, bg: jax.Array,
                       *, is_training: bool = True,
                       alive: Optional[jax.Array] = None,
@@ -42,6 +59,7 @@ def render_view_svgss(camera, params, bake: Dict, env_params, bg: jax.Array,
     ``env_fn``: optional override for the env lookup (defaults to the
     learnable DirectLightMap in ``env_params``).
     """
+    cfg = _clamp_svgss_tile(cfg)
     n = params["xyz"].shape[0]
     xyz = params["xyz"]
     opacity = G.get_opacity(params)[:, 0]

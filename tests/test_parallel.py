@@ -226,3 +226,76 @@ def test_gshard_exchange_bench_shapes():
     assert diff.max() < 5e-3 and diff.mean() < 1e-5
     wdiff = np.abs(np.asarray(shard.weights) - np.asarray(single.weights))
     assert wdiff.max() < 5e-3
+
+
+def test_dp_svgss_train_step_and_sharded_bake():
+    """Stage-2 DP step (param + env grads psum'd) and the gaussian-sharded
+    radiance bake on the 8-device mesh; bake parity vs single-device."""
+    import math
+    from svgir_tpu.cameras import look_at_camera
+    from svgir_tpu.models import gaussians as G
+    from svgir_tpu.models import lights as LT
+    from svgir_tpu.models import radiance as RAD
+    from svgir_tpu.parallel.dp import (bake_radiance_sharded,
+                                       make_dp_svgss_train_step)
+    from svgir_tpu.train import optim
+    from svgir_tpu.train.trainer import strip_meta
+    from svgir_tpu.utils.transforms import normalize
+
+    mesh = make_mesh(8)
+    n = 64
+    key = jax.random.PRNGKey(3)
+    dirs = normalize(jax.random.normal(key, (n, 3)))
+    state = G.init_from_points(dirs * 0.8, jnp.full((n, 3), 0.6),
+                               normals=dirs, capacity=n,
+                               rotation_init="normal")
+    state = G.upgrade_to_pbr(state)
+    p = dict(state["params"])
+
+    bk = jax.random.PRNGKey(5)
+    bake = bake_radiance_sharded(
+        mesh, "data", p["xyz"], G.get_scaling(p), G.get_rotation(p),
+        G.get_opacity(p)[:, 0], G.get_shs(p), sample_num=8, key=bk)
+    ref = RAD.bake_radiance(
+        p["xyz"], G.get_scaling(p), G.get_rotation(p),
+        G.get_opacity(p)[:, 0], G.get_shs(p), sample_num=8, key=bk,
+        use_grid=False, k_hits=8, gauss_chunk=256)
+    np.testing.assert_allclose(np.asarray(bake["radiance"]),
+                               np.asarray(ref["radiance"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(bake["hit_idx"]),
+                                  np.asarray(ref["hit_idx"]))
+
+    p["radiances"] = jnp.array(bake["radiance"])
+    p["radiance_ratio"] = jnp.ones(())
+    state = {**state, "params": p}
+    bake_static = {k: v for k, v in bake.items() if k != "exhausted_frac"}
+
+    cams = []
+    for i in range(8):
+        a = 2 * math.pi * i / 8
+        cam = look_at_camera(eye=[3 * math.sin(a), 0.3, -3 * math.cos(a)],
+                             target=[0, 0, 0], up=[0, -1, 0],
+                             fovx=math.pi / 3, fovy=math.pi / 3,
+                             width=32, height=32)
+        cams.append(dataclasses.replace(
+            strip_meta(cam),
+            image=jax.random.uniform(jax.random.PRNGKey(i), (3, 32, 32)),
+            image_mask=jnp.ones((1, 32, 32))))
+    batch = stack_cameras(cams)
+
+    opt = OptimizationConfig()
+    env_state = LT.direct_light_map_init(jax.random.PRNGKey(6), h=8,
+                                         light_init=opt.light_init)
+    lrs = optim.group_lrs(opt, 1.0, use_pbr=True)
+    step = make_dp_svgss_train_step(mesh, opt, CFG, jnp.zeros(3), lrs=lrs)
+    opt_state = optim.adam_init(state["params"])
+    env0 = env_state["params"]["env"]
+    new_state, opt_state, env_state, metrics = step(
+        state, opt_state, env_state, bake_static, batch,
+        jnp.float32(1), jnp.float32(1e-4), jnp.float32(opt.radiance_lr),
+        jnp.float32(opt.lambda_local_lights_smooth))
+    assert np.isfinite(float(metrics["loss"]))
+    # env map trained through the psum'd gradient path
+    assert float(jnp.abs(env_state["params"]["env"] - env0).max()) > 0
+    assert float(jnp.abs(new_state["params"]["base_color"]
+                         - state["params"]["base_color"]).max()) > 0

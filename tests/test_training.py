@@ -239,7 +239,10 @@ def test_overflow_auto_grows_instance_cap():
     opt = OptimizationConfig(
         iterations=12, densify_from_iter=10_000, densify_until_iter=10_000,
         opacity_reset_interval=10_000, position_lr_max_steps=12)
-    tiny = RasterConfig(max_instances=128, chunk=128)
+    # tile=16 pinned: the point is the overflow-growth mechanics, which
+    # need a cap the scene actually overflows (at the tile=32 default a
+    # 32px image is ONE tile and 128 instances suffice)
+    tiny = RasterConfig(max_instances=128, chunk=128, tile=16)
     state, _, history = train_stage1(
         state, cams, opt, bg=(0, 0, 0), raster_cfg=tiny,
         spatial_lr_scale=1.0, iterations=12, log_every=2, seed=3)
