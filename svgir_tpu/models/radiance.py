@@ -209,15 +209,22 @@ def irradiance_sample(sample_idx: jax.Array, bake: Dict, env_term: jax.Array,
 
 
 def radiance_consistency_loss(params, bake: Dict, cam_center: jax.Array,
-                              env_direct_light, *, alive=None) -> jax.Array:
+                              env_direct_light, *, alive=None,
+                              env_radiance=None) -> jax.Array:
     """get_radiance_loss (gaussian_model.py:544-575): pick the sample
     maximizing (reflect(view) . dir) * (1 - visibility), trace the
-    differentiable one-bounce there, L1 against the stored radiance."""
+    differentiable one-bounce there, L1 against the stored radiance.
+
+    ``env_radiance``: optional pre-evaluated env_direct_light(incident_
+    dirs), shared with rendering_equation4's lookup by the stage-2 step
+    (one [N*S]-query evaluation per step instead of two)."""
     from svgir_tpu.models import gaussians as G
 
     xyz = params["xyz"]
     n = xyz.shape[0]
-    env_term = env_direct_light(bake["incident_dirs"]) * bake["incident_areas"]
+    if env_radiance is None:
+        env_radiance = env_direct_light(bake["incident_dirs"])
+    env_term = env_radiance * bake["incident_areas"]
 
     view_dirs = normalize(xyz - cam_center[None])
     geo_n = G.get_geo_normal(params)

@@ -60,18 +60,26 @@ def rendering_equation4(base_color: jax.Array, roughness: jax.Array,
                         normals: jax.Array, viewdirs: jax.Array,
                         radiance: jax.Array, env_direct_light,
                         visibility: jax.Array, incident_dirs: jax.Array,
-                        incident_areas: jax.Array) -> tuple[jax.Array, Dict]:
+                        incident_areas: jax.Array,
+                        env_radiance: Optional[jax.Array] = None
+                        ) -> tuple[jax.Array, Dict]:
     """Per-vertex rendering equation — svgss.py:537-593.
 
     Args:
       base_color [N,12] channel-major; roughness [N,4]; normals [N,4,3]
       (shading normals); viewdirs [N,3] (points -> camera); radiance [N,S,3]
       (baked local incident); env_direct_light: fn(dirs [N,S,3]) -> [N,S,3];
-      visibility [N,S,1]; incident_dirs [N,S,3]; incident_areas [N,S,1].
+      visibility [N,S,1]; incident_dirs [N,S,3]; incident_areas [N,S,1];
+      env_radiance: optional PRE-EVALUATED env_direct_light(incident_dirs)
+      — the stage-2 step also needs it for the consistency loss, and the
+      two lookups are lax.map loops XLA will not CSE, so the caller
+      evaluates once and shares (render/svgss.py).
 
     Returns (pbr [N,12], extra_results dict).
     """
-    global_lights = jnp.clip(env_direct_light(incident_dirs), 0.0, 64.0)
+    if env_radiance is None:
+        env_radiance = env_direct_light(incident_dirs)
+    global_lights = jnp.clip(env_radiance, 0.0, 64.0)
     local_lights = radiance
     global_lights = global_lights * visibility
     incident_lights = local_lights + global_lights          # [N,S,3]

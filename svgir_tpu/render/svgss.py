@@ -77,10 +77,16 @@ def render_view_svgss(camera, params, bake: Dict, env_params, bg: jax.Array,
     if env_fn is None:
         env_fn = lambda dirs: LT.direct_light(env_params, dirs)
 
+    # ONE env evaluation per step: eq4's global lights and the consistency
+    # loss both need env(incident_dirs); the lookup is a lax.map loop XLA
+    # will not CSE, so evaluate here and share (exposed to the loss as
+    # results["_env_radiance"])
+    env_radiance = env_fn(bake["incident_dirs"])
+
     pbr, extra = rendering_equation4(
         base_color, roughness, shading_normal, viewdirs, radiances,
         env_fn, bake["visibility"], bake["incident_dirs"],
-        bake["incident_areas"])
+        bake["incident_areas"], env_radiance=env_radiance)
 
     if is_training:
         features = jnp.concatenate([
@@ -132,6 +138,7 @@ def render_view_svgss(camera, params, bake: Dict, env_params, bg: jax.Array,
         "n_contrib": bufs.n_contrib,
         "overflow": bufs.overflow,
         "diffuse_light": extra["diffuse_light"],
+        "_env_radiance": env_radiance,
     }
 
     if is_training:
@@ -209,10 +216,12 @@ def calculate_loss_svgss(camera, params, bake, results,
     # normal-offset regularizer (svgss.py:316)
     loss = loss + 0.1 * jnp.square(params["normal"]).mean()
 
-    # radiance consistency (svgss.py:319 -> gaussian_model.py:544-575)
+    # radiance consistency (svgss.py:319 -> gaussian_model.py:544-575);
+    # reuses the render's env(incident_dirs) evaluation when present
     loss_rad = RAD.radiance_consistency_loss(
         params, bake, camera.camera_center,
-        lambda d: LT.direct_light(env_params, d), alive=alive)
+        lambda d: LT.direct_light(env_params, d), alive=alive,
+        env_radiance=results.get("_env_radiance"))
     loss = loss + opt.lambda_radiance * loss_rad
     tb["loss_radiance"] = loss_rad
 
