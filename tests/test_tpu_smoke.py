@@ -94,3 +94,40 @@ def test_vjp_matches_oracle_grads_on_chip():
     for name, a, b in zip(("means", "opacity", "colors"), g_t, g_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=2e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("tile,chunk", [(32, 128), (16, 64)])
+def test_tile_chunk_variants_on_chip(tile, chunk):
+    """The r3 defaults (tile=32) and the chunk<128 wsum slot layout through
+    the REAL Mosaic compiler, including the weights output and its
+    cotangent path (the slot-layout DMA alignment only bites on hardware —
+    interpret mode checks numerics, this checks the compile)."""
+    cam, sc = _setup()
+    cfg = RasterConfig(max_instances=1 << 13, chunk=chunk, tile=tile)
+
+    prep = preprocess(
+        sc["means"], sc["scales"], sc["quats"], cam.world_view,
+        cam.full_proj, cam.camera_center, width=cam.width, height=cam.height,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, focal_x=cam.focal_x,
+        focal_y=cam.focal_y, colors=sc["colors"], cfg=cfg)
+    dense = render_dense(prep, sc["opacity"], sc["features"],
+                         sc["vfeatures"], jnp.zeros(3),
+                         width=cam.width, height=cam.height, cfg=cfg)
+    tiled = rasterize(sc["means"], sc["scales"], sc["quats"], sc["opacity"],
+                      cam, jnp.zeros(3), colors=sc["colors"],
+                      features=sc["features"], vfeatures=sc["vfeatures"],
+                      cfg=cfg, interpret=False)
+    assert not bool(tiled.overflow)
+    np.testing.assert_allclose(np.asarray(tiled.color),
+                               np.asarray(dense.color), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(tiled.weights[:, 0]),
+                               np.asarray(dense.weights[:, 0]), atol=2e-3)
+
+    # weights cotangent drives the g_wsum slot-layout DMA in the backward
+    g = jax.jit(jax.grad(lambda o: jnp.sum(rasterize(
+        sc["means"], sc["scales"], sc["quats"], o, cam, jnp.zeros(3),
+        colors=sc["colors"], features=sc["features"],
+        vfeatures=sc["vfeatures"], cfg=cfg,
+        interpret=False).weights ** 2)))(sc["opacity"])
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
