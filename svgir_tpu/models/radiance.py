@@ -84,24 +84,37 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
         ray_chunk = min(ray_chunk, 8192)
         nchunks = -(-r_total // ray_chunk)
 
-    def run(o, d, si):
-        if grid is not None:
-            from svgir_tpu.ops import grid_tracer
-            hits = grid_tracer.nearest_hits_grid(geo, grid, o, d,
-                                                 t_max=grid_t_max, k=k_hits)
-        else:
-            hits = tracing.nearest_hits(geo, o, d, chunk=gauss_chunk,
+    # geo / grid / shs / means are jit ARGUMENTS, not closure captures: a
+    # closed-over jax.Array is inlined into the HLO as a literal constant,
+    # and at real scale (1M surfels, 64-cap grid tables) the serialized
+    # program blows past the remote-compile request limit (HTTP 413).
+    if use_grid:
+        from svgir_tpu.ops import grid_tracer
+        # n_steps needs the CONCRETE grid (host-side); inside run the grid
+        # is a traced argument
+        n_steps = grid_tracer._concrete_n_steps(grid, grid_t_max)
+
+        def run(geo_a, grid_a, shs_a, means_a, o, d, si):
+            hits = grid_tracer.nearest_hits_grid(geo_a, grid_a, o, d,
+                                                 t_max=grid_t_max, k=k_hits,
+                                                 n_steps=n_steps)
+            return tracing.radiance_march(hits, si, shs_a, means_a, o)
+    else:
+        def run(geo_a, grid_a, shs_a, means_a, o, d, si):
+            del grid_a
+            hits = tracing.nearest_hits(geo_a, o, d, chunk=gauss_chunk,
                                         k=k_hits)
-        return tracing.radiance_march(hits, si, shs, means, o)
+            return tracing.radiance_march(hits, si, shs_a, means_a, o)
 
     run_j = jax.jit(run)
+    grid_arg = grid if grid is not None else jnp.zeros((0,))
     for i in range(nchunks):
         sl = slice(i * ray_chunk, min((i + 1) * ray_chunk, r_total))
         pad = ray_chunk - (sl.stop - sl.start)
         o = jnp.pad(rays_o[sl], ((0, pad), (0, 0)))
         d = jnp.pad(rays_d[sl], ((0, pad), (0, 0)), constant_values=1.0)
         si = jnp.pad(self_idx[sl], (0, pad))
-        res = run_j(o, d, si)
+        res = run_j(geo, grid_arg, shs, means, o, d, si)
         outs.append(jax.tree.map(lambda x: x[:sl.stop - sl.start], res))
 
     cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
