@@ -47,6 +47,17 @@ def main(argv=None):
     state = tree["state"]
     out_dir = os.path.join(model_cfg.model_path or ".", "eval_relight")
 
+    # Hemisphere trace is light-independent: bake once, re-shade per env
+    # (the reference builds its hemi hit table once per proxy,
+    # pbgi/renderer.py:470-489).
+    from svgir_tpu.models import gaussians as G
+    from svgir_tpu.models import radiance as RAD
+    params = state["params"]
+    bake = RAD.bake_radiance(
+        params["xyz"], G.get_scaling(params), G.get_rotation(params),
+        G.get_opacity(params)[:, 0], G.get_shs(params),
+        sample_num=args.sample_num, valid=state["alive"])
+
     all_results = {}
     for hdr_path in args.hdr:
         name = os.path.splitext(os.path.basename(hdr_path))[0]
@@ -54,7 +65,7 @@ def main(argv=None):
         all_results[name] = eval_relighting(
             out_dir, state["params"], state["alive"], env, cams,
             sample_num=args.sample_num, raster_cfg=raster_cfg,
-            light_name=name,
+            light_name=name, bake=bake,
             bg=(1.0, 1, 1) if model_cfg.white_background else (0.0, 0, 0))
     print(json.dumps(all_results, indent=2))
 

@@ -42,15 +42,23 @@ def calibrate_albedo_scale(pred_albedo, gt_albedo, mask) -> jnp.ndarray:
 
 def rebake_radiance_for_light(params, alive, env_state: Dict, *,
                               sample_num: int, key=None,
-                              ray_chunk=16384, gauss_chunk=512) -> Dict:
+                              ray_chunk=16384, gauss_chunk=512,
+                              bake: Optional[Dict] = None) -> Dict:
     """Steps 1 + 3: hemisphere bake (fibonacci dirs, light-independent),
     then replace radiances with the one-bounce estimate under the new
-    light.  Returns (bake buffers, new radiances [N,S,3])."""
-    bake = RAD.bake_radiance(
-        params["xyz"], G.get_scaling(params), G.get_rotation(params),
-        G.get_opacity(params)[:, 0], G.get_shs(params),
-        sample_num=sample_num, key=key, valid=alive,
-        ray_chunk=ray_chunk, gauss_chunk=gauss_chunk)
+    light.  Returns (bake buffers, new radiances [N,S,3]).
+
+    ``bake``: precomputed hemisphere buffers from an earlier call on the
+    SAME geometry.  The trace depends only on geometry + sample_num (eval
+    dirs are deterministic, key=None), so a multi-env sweep traces once
+    and re-shades per light — the reference's hemisphere hit-table reuse
+    (pbgi/renderer.py:470-489 builds its 256-dir table once per proxy)."""
+    if bake is None:
+        bake = RAD.bake_radiance(
+            params["xyz"], G.get_scaling(params), G.get_rotation(params),
+            G.get_opacity(params)[:, 0], G.get_shs(params),
+            sample_num=sample_num, key=key, valid=alive,
+            ray_chunk=ray_chunk, gauss_chunk=gauss_chunk)
 
     env_term = LT.env_light_direct(env_state, bake["incident_dirs"]) \
         * bake["incident_areas"]
@@ -67,10 +75,11 @@ def eval_relighting(out_dir: str, params, alive, env_state: Dict,
                     cameras: List, *, sample_num: int = 384,
                     raster_cfg: RasterConfig = RasterConfig(),
                     gt_albedo_fn=None, lpips_weights=None,
-                    bg=(0.0, 0.0, 0.0), light_name: str = "env") -> Dict:
+                    bg=(0.0, 0.0, 0.0), light_name: str = "env",
+                    bake: Optional[Dict] = None) -> Dict:
     bg = jnp.asarray(bg)
     bake, radiances = rebake_radiance_for_light(
-        params, alive, env_state, sample_num=sample_num)
+        params, alive, env_state, sample_num=sample_num, bake=bake)
     params = dict(params)
     params["radiances"] = radiances
     params["radiance_ratio"] = jnp.ones(())

@@ -147,3 +147,20 @@ def test_eval_relighting_smoke(tmp_path):
     import os
     assert os.path.exists(os.path.join(str(tmp_path), "env",
                                        "metrics.json"))
+
+    # the multi-env sweep reuses one light-independent hemisphere bake
+    # (reference hit-table reuse, pbgi/renderer.py:470-489): passing the
+    # precomputed bake must reproduce the internal-trace metrics exactly
+    from svgir_tpu.models import radiance as RAD
+
+    params = state["params"]
+    pre = RAD.bake_radiance(
+        params["xyz"], G.get_scaling(params), G.get_rotation(params),
+        G.get_opacity(params)[:, 0], G.get_shs(params),
+        sample_num=8, valid=state["alive"])
+    summary2 = eval_relighting(
+        str(tmp_path), params, state["alive"], env,
+        [cam, cam], sample_num=8, raster_cfg=CFG,
+        gt_albedo_fn=gt_albedo_fn, light_name="env2", bake=pre)
+    for key in ("pbr_psnr", "albedo_psnr"):
+        np.testing.assert_allclose(summary2[key], summary[key], rtol=1e-5)
