@@ -116,6 +116,10 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
         si = jnp.pad(self_idx[sl], (0, pad))
         res = run_j(geo, grid_arg, shs, means, o, d, si)
         outs.append(jax.tree.map(lambda x: x[:sl.stop - sl.start], res))
+        if i % 16 == 15:
+            # cap the async dispatch queue: hundreds of multi-second chunk
+            # programs enqueued at once can wedge the device transport
+            jax.block_until_ready(res["radiance"])
 
     cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
     return {

@@ -28,6 +28,7 @@ from svgir_tpu.ops import tracing
 
 class TraceGrid(NamedTuple):
     cell_ids: jax.Array     # [C, L] int32 gaussian ids (-1 padding)
+    cell_count: jax.Array   # [C] int32 candidates per cell (uncapped)
     lo: jax.Array           # [3] grid origin
     inv_cell: jax.Array     # [3] 1 / cell size
     res: int
@@ -103,7 +104,8 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
     ok = slot[None] < jnp.minimum(counts, cell_cap)[:, None]
     src = jnp.clip(src, 0, cell_s.shape[0] - 1)
     ids = jnp.where(ok, gid_s[src], -1)
-    return TraceGrid(cell_ids=ids, lo=lo, inv_cell=inv_cell, res=res,
+    return TraceGrid(cell_ids=ids, cell_count=counts.astype(jnp.int32),
+                     lo=lo, inv_cell=inv_cell, res=res,
                      cell_cap=cell_cap, overflow=overflow)
 
 
@@ -118,25 +120,72 @@ def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
         grid = build_grid(geo, res=res, cell_cap=cell_cap,
                           max_cells_per_gauss=max_cells_per_gauss,
                           sigma=sigma)
-        if not bool(grid.overflow) or cell_cap >= cap_limit:
+        if not bool(grid.overflow):
+            return grid
+        if cell_cap >= cap_limit:
+            # no silent caps (docs/PERF.md): candidates beyond the cap are
+            # dropped and rays through hot cells will miss hits
+            print(f"WARNING: grid cell_cap limit reached ({cell_cap}) with "
+                  f"overflowing cells at res={res} — some candidates are "
+                  "dropped; lower the grid res or raise cap_limit",
+                  flush=True)
             return grid
         cell_cap *= 2
 
 
-def _gather_candidates(grid: TraceGrid, pos: jax.Array) -> jax.Array:
-    """Cell candidate ids [R, L] at world positions [R, 3]."""
+def _cell_index(grid: TraceGrid, pos: jax.Array) -> jax.Array:
+    """Flat cell index [R] at world positions [R, 3]."""
     c = jnp.clip(((pos - grid.lo) * grid.inv_cell).astype(jnp.int32),
                  0, grid.res - 1)
-    cell = (c[:, 2] * grid.res + c[:, 1]) * grid.res + c[:, 0]
-    return grid.cell_ids[cell]
+    return (c[:, 2] * grid.res + c[:, 1]) * grid.res + c[:, 0]
 
 
-def _test_candidates(geo: tracing.SurfelGeometry, ids, rays_o, rays_d,
-                     t_lo, t_hi):
+def _gather_candidates(grid: TraceGrid, pos: jax.Array) -> jax.Array:
+    """Cell candidate ids [R, L] at world positions [R, 3]."""
+    return grid.cell_ids[_cell_index(grid, pos)]
+
+
+# packed-row surfel table: ONE [R, L]-indexed row gather of a 32-lane table
+# instead of seven narrow per-field gathers (docs/PERF.md: tiny-row gathers
+# pay tile-read amplification; the rasterizer's slab gather idiom)
+_PACK_W = 32
+
+
+def pack_geometry(geo: tracing.SurfelGeometry) -> jax.Array:
+    """[N + 1, 32] row table; row N is the all-zero padding row (valid=0)
+    that id == -1 candidates route to."""
+    n = geo.means.shape[0]
+    packed = jnp.concatenate([
+        geo.means,                                   # 0:3
+        geo.scales,                                  # 3:6
+        geo.rot.reshape(n, 9),                       # 6:15
+        geo.inv_cov,                                 # 15:21
+        geo.normal,                                  # 21:24
+        geo.opacity[:, None],                        # 24
+        geo.valid.astype(jnp.float32)[:, None],      # 25
+        jnp.zeros((n, _PACK_W - 26)),
+    ], axis=1)
+    return jnp.concatenate([packed, jnp.zeros((1, _PACK_W))], axis=0)
+
+
+def _unpack_sub(g: jax.Array) -> tracing.SurfelGeometry:
+    return tracing.SurfelGeometry(
+        means=g[..., 0:3], scales=g[..., 3:6],
+        rot=g[..., 6:15].reshape(g.shape[:-1] + (3, 3)),
+        inv_cov=g[..., 15:21], normal=g[..., 21:24],
+        opacity=g[..., 24], valid=g[..., 25] > 0.5)
+
+
+def _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi, *, packed=None):
     """Exact surfel tests for candidate ids [R, L] within t-span
-    [t_lo, t_hi) (per ray).  Returns per-(ray, cand) dict."""
-    idx = jnp.clip(ids, 0, geo.means.shape[0] - 1)
-    sub = tracing.SurfelGeometry(*[x[idx] for x in geo])     # [R, L, ...]
+    [t_lo, t_hi) (per ray).  Returns per-(ray, cand) dict.  ``packed``:
+    optional precomputed pack_geometry(geo) table (single-gather path)."""
+    if packed is not None:
+        sub = _unpack_sub(packed[jnp.where(ids >= 0, ids,
+                                           packed.shape[0] - 1)])
+    else:
+        idx = jnp.clip(ids, 0, geo.means.shape[0] - 1)
+        sub = tracing.SurfelGeometry(*[x[idx] for x in geo])  # [R, L, ...]
     n = sub.normal
     denom = jnp.sum(n * rays_d[:, None], -1)
     denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
@@ -167,7 +216,8 @@ def _test_candidates(geo: tracing.SurfelGeometry, ids, rays_o, rays_d,
           & (alpha >= tracing.ALPHA_MIN) & facing
           & (t_plane >= t_lo[:, None]) & (t_plane < t_hi[:, None]))
     return {"t": jnp.where(ok, t_plane, jnp.inf), "alpha": alpha, "uv": uv,
-            "ok": ok, "idx": ids}
+            "ok": ok, "idx": ids, "valid": sub.valid,
+            "opacity": sub.opacity}
 
 
 def _concrete_n_steps(grid: TraceGrid, t_max: float) -> int:
@@ -213,30 +263,45 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps):
         "uv": jnp.zeros((r, k, 2)),
     }
 
+    packed = pack_geometry(geo)
+
     def body(carry, j):
         t_lo = j * dt
         t_hi = jnp.minimum((j + 1) * dt, t_max)
         mid = rays_o + (t_lo + 0.5 * dt) * rays_d
-        ids = _gather_candidates(grid, mid)
-        cand = _test_candidates(geo, ids, rays_o, rays_d,
-                                jnp.full((r,), t_lo), jnp.full((r,), t_hi))
+        cell = _cell_index(grid, mid)
+        # occupancy pre-gate: a [R] count lookup decides whether this step
+        # touches ANY candidate before paying the [R, L] id gather, the
+        # [R, L, 32] row gather and the tests (most of space is empty —
+        # ~25 of ~100 steps are nonempty on typical scenes)
+        occ = grid.cell_count[cell]
 
-        def merge(carry):
-            all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
-            all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
-            all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]],
-                                        axis=1)
-            all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
-            neg_top, sel = jax.lax.top_k(-all_t, k)
-            take = jnp.take_along_axis
-            return {
-                "t": -neg_top,
-                "idx": take(all_idx, sel, axis=1),
-                "alpha": take(all_alpha, sel, axis=1),
-                "uv": take(all_uv, sel[..., None], axis=1),
-            }
+        def full(carry):
+            ids = grid.cell_ids[cell]
+            cand = _test_candidates(geo, ids, rays_o, rays_d,
+                                    jnp.full((r,), t_lo),
+                                    jnp.full((r,), t_hi), packed=packed)
 
-        return jax.lax.cond(jnp.any(cand["ok"]), merge, lambda c: c,
+            def merge(carry):
+                all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
+                all_idx = jnp.concatenate([carry["idx"], cand["idx"]],
+                                          axis=1)
+                all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]],
+                                            axis=1)
+                all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
+                neg_top, sel = jax.lax.top_k(-all_t, k)
+                take = jnp.take_along_axis
+                return {
+                    "t": -neg_top,
+                    "idx": take(all_idx, sel, axis=1),
+                    "alpha": take(all_alpha, sel, axis=1),
+                    "uv": take(all_uv, sel[..., None], axis=1),
+                }
+
+            return jax.lax.cond(jnp.any(cand["ok"]), merge, lambda c: c,
+                                carry)
+
+        return jax.lax.cond(jnp.any(occ > 0), full, lambda c: c,
                             carry), None
 
     hits, _ = jax.lax.scan(body, init, jnp.arange(n_steps))
@@ -253,24 +318,34 @@ def trace_visibility_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
     cell_size = 1.0 / grid.inv_cell
     dt = jnp.min(cell_size) * 0.5
 
+    packed = pack_geometry(geo)
+
     def body(carry, j):
         log_t, count = carry
         t_lo = jnp.maximum(j * dt, 0.01)     # skip t < 0.01 (trace.cu:238)
         t_hi = jnp.minimum((j + 1) * dt, t_max)
         mid = rays_o + (j * dt + 0.5 * dt) * rays_d
-        ids = _gather_candidates(grid, mid)
-        cand = _test_candidates(geo, ids, rays_o, rays_d,
-                                jnp.full((r,), t_lo), jnp.full((r,), t_hi))
-        # visibility wants opacity >= 1/255 pre-exp (trace.cu:233) and no
-        # ellipse test — accept on power<=0 & facing & t window
-        idx = jnp.clip(cand["idx"], 0, geo.means.shape[0] - 1)
-        ok = ((cand["idx"] >= 0) & geo.valid[idx]
-              & (geo.opacity[idx] >= tracing.ALPHA_MIN)
-              & jnp.isfinite(cand["t"]))
-        a = jnp.where(ok, jnp.minimum(cand["alpha"], tracing.ALPHA_MAX), 0.0)
-        log_t = log_t + jnp.sum(jnp.log1p(-a), axis=1)
-        count = count + ok.sum(axis=1)
-        return (log_t, count), None
+        cell = _cell_index(grid, mid)
+        occ = grid.cell_count[cell]
+
+        def full(carry):
+            log_t, count = carry
+            ids = grid.cell_ids[cell]
+            cand = _test_candidates(geo, ids, rays_o, rays_d,
+                                    jnp.full((r,), t_lo),
+                                    jnp.full((r,), t_hi), packed=packed)
+            # visibility wants opacity >= 1/255 pre-exp (trace.cu:233) and
+            # no ellipse test — accept on power<=0 & facing & t window
+            ok = ((cand["idx"] >= 0) & cand["valid"]
+                  & (cand["opacity"] >= tracing.ALPHA_MIN)
+                  & jnp.isfinite(cand["t"]))
+            a = jnp.where(ok, jnp.minimum(cand["alpha"], tracing.ALPHA_MAX),
+                          0.0)
+            return (log_t + jnp.sum(jnp.log1p(-a), axis=1),
+                    count + ok.sum(axis=1))
+
+        return jax.lax.cond(jnp.any(occ > 0), full, lambda c: c,
+                            (log_t, count)), None
 
     (log_t, count), _ = jax.lax.scan(
         body, (jnp.zeros((r,)), jnp.zeros((r,), jnp.int32)),

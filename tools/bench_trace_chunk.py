@@ -1,0 +1,142 @@
+"""Attribute the grid-tracer chunk cost on-chip (bake perf work).
+
+Times, on one 8192-ray chunk of the bench bake scene (50k surfels):
+  a. nearest_hits_grid end-to-end (the scan)
+  b. candidate-id gathers alone ([R,L] rows of the cell table, all steps)
+  c. _test_candidates once (7 narrow geo gathers) vs a packed single
+     [N,32]-row gather variant
+  d. the top-k merge (sort) alone at the same shapes
+
+Usage: python tools/bench_trace_chunk.py [--n 50000] [--rays 8192]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, reps=10, ready=lambda o: o):
+    out = fn(*args)
+    jax.block_until_ready(ready(out))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(ready(out))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=50_000)
+    ap.add_argument("--rays", type=int, default=8192)
+    args = ap.parse_args()
+
+    from svgir_tpu.ops import grid_tracer, tracing
+    from svgir_tpu.utils.graphics import fibonacci_sphere_sampling
+    from svgir_tpu.utils.transforms import normalize
+
+    n, r = args.n, args.rays
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    dirs = normalize(jax.random.normal(k[0], (n, 3)))
+    means = dirs * (0.7 + 0.3 * jax.random.uniform(k[1], (n, 1)))
+    scales = jnp.concatenate(
+        [0.01 + 0.02 * jax.random.uniform(k[2], (n, 2)),
+         jnp.zeros((n, 1))], axis=-1)
+    quats = normalize(jax.random.normal(k[3], (n, 4)))
+    opacity = jnp.full((n,), 0.9)
+    geo = tracing.build_surfel_geometry(means, scales, quats, opacity)
+    res = grid_tracer.auto_res(geo)
+    grid = grid_tracer.build_grid_auto(geo, res=res, cell_cap=64,
+                                       max_cells_per_gauss=64)
+    m_np = np.asarray(means)
+    t_max = float(np.linalg.norm(m_np.max(0) - m_np.min(0))) \
+        + 6.0 * float(np.asarray(scales).max())
+    n_steps = grid_tracer._concrete_n_steps(grid, t_max)
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"res={res} cap={grid.cell_cap} n_steps={n_steps} "
+          f"t_max={t_max:.2f}", file=sys.stderr)
+
+    sdirs, _ = fibonacci_sphere_sampling(geo.normal[:r], 1)
+    rays_o, rays_d = means[:r], sdirs[:, 0]
+
+    # a. full chunk
+    f_full = jax.jit(lambda g, gr, o, d: grid_tracer.nearest_hits_grid(
+        g, gr, o, d, t_max=t_max, k=16, n_steps=n_steps))
+    t = timeit(f_full, geo, grid, rays_o, rays_d,
+               ready=lambda o: o["t"])
+    print(f"a. nearest_hits_grid chunk ({r} rays): {t*1e3:.1f} ms "
+          f"-> full bake ({args.n*64/r:.0f} chunks) {t*args.n*64/r:.0f}s")
+
+    # b. candidate-id gathers for all steps
+    cell = 1.0 / np.asarray(grid.inv_cell)
+    dt = float(cell.min()) * 0.5
+
+    def gathers(gr, o, d):
+        acc = jnp.zeros((r,), jnp.int32)
+        def body(acc, j):
+            mid = o + (j * dt + 0.5 * dt) * d
+            ids = grid_tracer._gather_candidates(gr, mid)
+            return acc + ids.max(1), None
+        acc, _ = jax.lax.scan(body, acc, jnp.arange(n_steps))
+        return acc
+    t = timeit(jax.jit(gathers), grid, rays_o, rays_d)
+    print(f"b. cell-id gathers x{n_steps}: {t*1e3:.1f} ms")
+
+    # c. _test_candidates once: current (7 gathers) vs packed single gather
+    ids0 = grid_tracer._gather_candidates(grid, rays_o + 0.5 * dt * rays_d)
+    tl = jnp.zeros((r,))
+    th = jnp.full((r,), t_max)
+
+    def test_now(g, i, o, d):
+        return grid_tracer._test_candidates(g, i, o, d, tl, th)["t"]
+    t = timeit(jax.jit(test_now), geo, ids0, rays_o, rays_d)
+    print(f"c1. _test_candidates (7-field gather) once: {t*1e3:.2f} ms "
+          f"-> x{n_steps} = {t*n_steps*1e3:.0f} ms")
+
+    # packed variant: one [N+1, 32] table, rows [R, L, 32]
+    packed = jnp.concatenate([
+        geo.means, geo.scales, geo.rot.reshape(n, 9), geo.inv_cov,
+        geo.normal, geo.opacity[:, None],
+        geo.valid.astype(jnp.float32)[:, None],
+        jnp.zeros((n, 32 - 26))], axis=1)
+    packed = jnp.concatenate([packed, jnp.zeros((1, 32))], 0)
+
+    def test_packed(p, i, o, d):
+        idx = jnp.where(i >= 0, i, n)
+        g = p[idx]                                   # [R, L, 32] row gather
+        sub = tracing.SurfelGeometry(
+            means=g[..., 0:3], scales=g[..., 3:6],
+            rot=g[..., 6:15].reshape(g.shape[:-1] + (3, 3)),
+            inv_cov=g[..., 15:21], normal=g[..., 21:24],
+            opacity=g[..., 24], valid=g[..., 25] > 0)
+        nrm = sub.normal
+        denom = jnp.sum(nrm * d[:, None], -1)
+        denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        t_plane = jnp.sum((sub.means - o[:, None]) * nrm, -1) / denom
+        return t_plane
+    t = timeit(jax.jit(test_packed), packed, ids0, rays_o, rays_d)
+    print(f"c2. packed [N,32] single row gather + plane test: {t*1e3:.2f} ms")
+
+    # d. top-k merge at scan shapes
+    cand_t = jax.random.uniform(k[0], (r, grid.cell_cap))
+    carry_t = jax.random.uniform(k[1], (r, 16))
+
+    def merge(ct, kt):
+        at = jnp.concatenate([kt, ct], axis=1)
+        top = jax.lax.top_k(-at, 16)[0]
+        return -top
+    t = timeit(jax.jit(merge), cand_t, carry_t)
+    print(f"d. top-k merge once: {t*1e3:.2f} ms -> x{n_steps} = "
+          f"{t*n_steps*1e3:.0f} ms")
+
+
+if __name__ == "__main__":
+    main()
