@@ -94,11 +94,32 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
         # is a traced argument
         n_steps = grid_tracer._concrete_n_steps(grid, grid_t_max)
 
+        # exact visit budget for the compacted march: max occupied steps
+        # over ALL rays (cheap [R]-count probe), bucketed to 16 so the
+        # expensive phase provably never truncates (grid_tracer docstring)
+        probe_chunk = 131072
+        vmax = 0
+        for p0 in range(0, r_total, probe_chunk):
+            sl = slice(p0, min(p0 + probe_chunk, r_total))
+            pad = probe_chunk - (sl.stop - sl.start)
+            po = jnp.pad(rays_o[sl], ((0, pad), (0, 0)))
+            pd = jnp.pad(rays_d[sl], ((0, pad), (0, 0)), constant_values=1.0)
+            cnt = grid_tracer.count_occupied_steps(
+                grid, po, pd, t_max=grid_t_max, n_steps=n_steps)
+            vmax = max(vmax, int(jax.device_get(cnt.max())))
+        max_visits = min(-(-max(vmax, 1) // 16) * 16, n_steps)
+
         def run(geo_a, grid_a, shs_a, means_a, o, d, si):
             hits = grid_tracer.nearest_hits_grid(geo_a, grid_a, o, d,
                                                  t_max=grid_t_max, k=k_hits,
-                                                 n_steps=n_steps)
-            return tracing.radiance_march(hits, si, shs_a, means_a, o)
+                                                 n_steps=n_steps,
+                                                 max_visits=max_visits)
+            out = tracing.radiance_march(hits, si, shs_a, means_a, o)
+            # a clipped visit budget (never at the probed V, but callers
+            # may pass their own) surfaces as exhaustion, same as a full
+            # K-hit list
+            out["exhausted"] = out["exhausted"] | hits["trunc"]
+            return out
     else:
         def run(geo_a, grid_a, shs_a, means_a, o, d, si):
             del grid_a

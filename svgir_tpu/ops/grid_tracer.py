@@ -232,29 +232,79 @@ def _concrete_n_steps(grid: TraceGrid, t_max: float) -> int:
         return 4 * int(grid.res)
 
 
+def count_occupied_steps(grid: TraceGrid, rays_o: jax.Array,
+                         rays_d: jax.Array, *, t_max: float,
+                         n_steps: int) -> jax.Array:
+    """[R] number of march steps whose cell holds >= 1 candidate — the
+    exact visit budget a compacted march needs for each ray."""
+    return _occupancy_scan(grid, rays_o, rays_d, t_max=t_max,
+                           n_steps=n_steps).sum(1)
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def _occupancy_scan(grid, rays_o, rays_d, *, t_max, n_steps):
+    """[R, n_steps] bool — step's cell is nonempty.  Cheap: one [R] count
+    lookup per step, no candidate gathers."""
+    del t_max
+    dt = jnp.min(1.0 / grid.inv_cell) * 0.5
+
+    def body(_, j):
+        mid = rays_o + (j * dt + 0.5 * dt) * rays_d
+        return None, grid.cell_count[_cell_index(grid, mid)] > 0
+
+    _, occ = jax.lax.scan(body, None, jnp.arange(n_steps))
+    return occ.T
+
+
 def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
                       rays_o: jax.Array, rays_d: jax.Array, *,
                       t_max: float = 2.0, k: int = 16,
-                      n_steps: Optional[int] = None) -> Dict:
-    """Grid-walk replacement for tracing.nearest_hits (same output dict).
+                      n_steps: Optional[int] = None,
+                      max_visits: Optional[int] = None) -> Dict:
+    """Grid-walk replacement for tracing.nearest_hits (same output dict,
+    plus ``trunc`` [R] when the visit budget clipped a ray — see below).
 
-    Marches positions at half-cell steps up to ``t_max``; each step tests
-    the local cell list within its own t-span so every surfel is accepted
-    at most once.  Steps advance monotonically in t, so merged hits stay
-    globally depth-sorted; steps whose cells produce no accepted candidate
-    skip the top-k merge entirely (most of space is empty).
+    Two-phase compacted march (conditionals inside ``scan`` measured 3.7x
+    overhead on TPU, tools/bench_trace_chunk.py 2026-08-19):
+
+    1. a cheap occupancy scan ([R] cell-count lookup per step) finds each
+       ray's nonempty steps;
+    2. the expensive phase (candidate gather + exact tests + top-k merge)
+       scans only the first ``max_visits`` occupied steps per ray,
+       cond-free.
+
+    Visits advance monotonically in t and each step tests its own t-span,
+    so merged hits stay globally depth-sorted and duplicates cancel —
+    identical outputs to the full scan whenever no ray exceeds
+    ``max_visits`` (callers get exactness by probing
+    ``count_occupied_steps().max()`` first, as ``bake_radiance`` does).
+    ``max_visits=None`` scans every step (always exact, slower).
     """
     if n_steps is None:
         n_steps = _concrete_n_steps(grid, t_max)
+    if max_visits is None:
+        max_visits = n_steps
+    max_visits = min(max_visits, n_steps)
     return _nearest_hits_grid(geo, grid, rays_o, rays_d, t_max=t_max, k=k,
-                              n_steps=n_steps)
+                              n_steps=n_steps, max_visits=max_visits)
 
 
-@partial(jax.jit, static_argnames=("k", "n_steps"))
-def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps):
+@partial(jax.jit, static_argnames=("k", "n_steps", "max_visits"))
+def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
+                       max_visits):
     r = rays_o.shape[0]
     cell_size = 1.0 / grid.inv_cell
     dt = jnp.min(cell_size) * 0.5      # half-cell steps: no diagonal misses
+
+    occ = _occupancy_scan(grid, rays_o, rays_d, t_max=t_max,
+                          n_steps=n_steps)                 # [R, n_steps]
+    # first max_visits occupied step indices, ascending (top_k of negated
+    # steps); dead visit slots get n_steps + 9 -> masked in the body
+    steps_or_big = jnp.where(occ, jnp.arange(n_steps)[None, :],
+                             n_steps + 9)
+    neg, _ = jax.lax.top_k(-steps_or_big, max_visits)
+    visit_step = -neg                                      # [R, V]
+    trunc = occ.sum(1) > max_visits
 
     init = {
         "t": jnp.full((r, k), jnp.inf),
@@ -265,46 +315,32 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps):
 
     packed = pack_geometry(geo)
 
-    def body(carry, j):
-        t_lo = j * dt
-        t_hi = jnp.minimum((j + 1) * dt, t_max)
-        mid = rays_o + (t_lo + 0.5 * dt) * rays_d
-        cell = _cell_index(grid, mid)
-        # occupancy pre-gate: a [R] count lookup decides whether this step
-        # touches ANY candidate before paying the [R, L] id gather, the
-        # [R, L, 32] row gather and the tests (most of space is empty —
-        # ~25 of ~100 steps are nonempty on typical scenes)
-        occ = grid.cell_count[cell]
+    def body(carry, v):
+        j = visit_step[:, v]                               # [R]
+        live = j < n_steps
+        jj = jnp.minimum(j, n_steps - 1).astype(rays_o.dtype)
+        t_lo = jj * dt
+        t_hi = jnp.minimum((jj + 1) * dt, t_max)
+        mid = rays_o + (t_lo + 0.5 * dt)[:, None] * rays_d
+        ids = jnp.where(live[:, None],
+                        grid.cell_ids[_cell_index(grid, mid)], -1)
+        cand = _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi,
+                                packed=packed)
+        all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
+        all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
+        all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]], axis=1)
+        all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
+        neg_top, sel = jax.lax.top_k(-all_t, k)
+        take = jnp.take_along_axis
+        return {
+            "t": -neg_top,
+            "idx": take(all_idx, sel, axis=1),
+            "alpha": take(all_alpha, sel, axis=1),
+            "uv": take(all_uv, sel[..., None], axis=1),
+        }, None
 
-        def full(carry):
-            ids = grid.cell_ids[cell]
-            cand = _test_candidates(geo, ids, rays_o, rays_d,
-                                    jnp.full((r,), t_lo),
-                                    jnp.full((r,), t_hi), packed=packed)
-
-            def merge(carry):
-                all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
-                all_idx = jnp.concatenate([carry["idx"], cand["idx"]],
-                                          axis=1)
-                all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]],
-                                            axis=1)
-                all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
-                neg_top, sel = jax.lax.top_k(-all_t, k)
-                take = jnp.take_along_axis
-                return {
-                    "t": -neg_top,
-                    "idx": take(all_idx, sel, axis=1),
-                    "alpha": take(all_alpha, sel, axis=1),
-                    "uv": take(all_uv, sel[..., None], axis=1),
-                }
-
-            return jax.lax.cond(jnp.any(cand["ok"]), merge, lambda c: c,
-                                carry)
-
-        return jax.lax.cond(jnp.any(occ > 0), full, lambda c: c,
-                            carry), None
-
-    hits, _ = jax.lax.scan(body, init, jnp.arange(n_steps))
+    hits, _ = jax.lax.scan(body, init, jnp.arange(max_visits))
+    hits["trunc"] = trunc
     return hits
 
 
@@ -325,27 +361,19 @@ def trace_visibility_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
         t_lo = jnp.maximum(j * dt, 0.01)     # skip t < 0.01 (trace.cu:238)
         t_hi = jnp.minimum((j + 1) * dt, t_max)
         mid = rays_o + (j * dt + 0.5 * dt) * rays_d
-        cell = _cell_index(grid, mid)
-        occ = grid.cell_count[cell]
-
-        def full(carry):
-            log_t, count = carry
-            ids = grid.cell_ids[cell]
-            cand = _test_candidates(geo, ids, rays_o, rays_d,
-                                    jnp.full((r,), t_lo),
-                                    jnp.full((r,), t_hi), packed=packed)
-            # visibility wants opacity >= 1/255 pre-exp (trace.cu:233) and
-            # no ellipse test — accept on power<=0 & facing & t window
-            ok = ((cand["idx"] >= 0) & cand["valid"]
-                  & (cand["opacity"] >= tracing.ALPHA_MIN)
-                  & jnp.isfinite(cand["t"]))
-            a = jnp.where(ok, jnp.minimum(cand["alpha"], tracing.ALPHA_MAX),
-                          0.0)
-            return (log_t + jnp.sum(jnp.log1p(-a), axis=1),
-                    count + ok.sum(axis=1))
-
-        return jax.lax.cond(jnp.any(occ > 0), full, lambda c: c,
-                            (log_t, count)), None
+        ids = _gather_candidates(grid, mid)
+        cand = _test_candidates(geo, ids, rays_o, rays_d,
+                                jnp.full((r,), t_lo), jnp.full((r,), t_hi),
+                                packed=packed)
+        # visibility wants opacity >= 1/255 pre-exp (trace.cu:233) and no
+        # ellipse test — accept on power<=0 & facing & t window
+        ok = ((cand["idx"] >= 0) & cand["valid"]
+              & (cand["opacity"] >= tracing.ALPHA_MIN)
+              & jnp.isfinite(cand["t"]))
+        a = jnp.where(ok, jnp.minimum(cand["alpha"], tracing.ALPHA_MAX), 0.0)
+        log_t = log_t + jnp.sum(jnp.log1p(-a), axis=1)
+        count = count + ok.sum(axis=1)
+        return (log_t, count), None
 
     (log_t, count), _ = jax.lax.scan(
         body, (jnp.zeros((r,)), jnp.zeros((r,), jnp.int32)),

@@ -75,6 +75,111 @@ def main():
     print(f"a. nearest_hits_grid chunk ({r} rays): {t*1e3:.1f} ms "
           f"-> full bake ({args.n*64/r:.0f} chunks) {t*args.n*64/r:.0f}s")
 
+    # a2. cond-free variant: every step does gather+test+merge
+    packed_tbl = grid_tracer.pack_geometry(geo)
+    dt_c = float(np.min(cell)) * 0.5 if False else None  # set below
+
+    cellsz = 1.0 / np.asarray(grid.inv_cell)
+    dtv = float(cellsz.min()) * 0.5
+
+    def nocond(g, gr, pk, o, d):
+        init = {
+            "t": jnp.full((r, 16), jnp.inf),
+            "idx": jnp.full((r, 16), -1, jnp.int32),
+            "alpha": jnp.zeros((r, 16)),
+            "uv": jnp.zeros((r, 16, 2)),
+        }
+
+        def body(carry, j):
+            t_lo = j * dtv
+            t_hi = jnp.minimum((j + 1) * dtv, t_max)
+            mid = o + (t_lo + 0.5 * dtv) * d
+            cidx = grid_tracer._cell_index(gr, mid)
+            ids = gr.cell_ids[cidx]
+            cand = grid_tracer._test_candidates(
+                g, ids, o, d, jnp.full((r,), t_lo), jnp.full((r,), t_hi),
+                packed=pk)
+            all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
+            all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
+            all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]], 1)
+            all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
+            neg_top, sel = jax.lax.top_k(-all_t, 16)
+            take = jnp.take_along_axis
+            return {
+                "t": -neg_top,
+                "idx": take(all_idx, sel, axis=1),
+                "alpha": take(all_alpha, sel, axis=1),
+                "uv": take(all_uv, sel[..., None], axis=1),
+            }, None
+
+        out, _ = jax.lax.scan(body, init, jnp.arange(n_steps))
+        return out
+    t = timeit(jax.jit(nocond), geo, grid, packed_tbl, rays_o, rays_d,
+               ready=lambda o: o["t"])
+    print(f"a2. cond-free scan: {t*1e3:.1f} ms")
+
+    # a3. two-phase visit compaction: phase-1 finds each ray's occupied
+    # steps (cheap), phase-2 scans only V visit slots
+    V = 40
+
+    def twophase(g, gr, pk, o, d):
+        # phase 1: occupied-step discovery
+        def occ_body(_, j):
+            mid = o + (j * dtv + 0.5 * dtv) * d
+            cidx = grid_tracer._cell_index(gr, mid)
+            return None, gr.cell_count[cidx] > 0
+        _, occ = jax.lax.scan(occ_body, None, jnp.arange(n_steps))
+        occ = occ.T                                       # [R, n_steps]
+        steps = jnp.where(occ, jnp.arange(n_steps)[None, :], n_steps + 9)
+        neg, _ = jax.lax.top_k(-steps, V)                 # first V occupied
+        visit_step = -neg                                 # [R, V] ascending
+        exhausted = occ.sum(1) > V
+
+        init = {
+            "t": jnp.full((r, 16), jnp.inf),
+            "idx": jnp.full((r, 16), -1, jnp.int32),
+            "alpha": jnp.zeros((r, 16)),
+            "uv": jnp.zeros((r, 16, 2)),
+        }
+
+        def body(carry, v):
+            j = visit_step[:, v]                          # [R] per-ray step
+            live = j <= n_steps
+            jj = jnp.minimum(j, n_steps - 1).astype(jnp.float32)
+            t_lo = jj * dtv
+            t_hi = jnp.minimum((jj + 1) * dtv, t_max)
+            mid = o + (t_lo + 0.5 * dtv)[:, None] * d
+            cidx = grid_tracer._cell_index(gr, mid)
+            ids = jnp.where(live[:, None], gr.cell_ids[cidx], -1)
+            cand = grid_tracer._test_candidates(g, ids, o, d, t_lo, t_hi,
+                                                packed=pk)
+            all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
+            all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
+            all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]], 1)
+            all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
+            neg_top, sel = jax.lax.top_k(-all_t, 16)
+            take = jnp.take_along_axis
+            return {
+                "t": -neg_top,
+                "idx": take(all_idx, sel, axis=1),
+                "alpha": take(all_alpha, sel, axis=1),
+                "uv": take(all_uv, sel[..., None], axis=1),
+            }, None
+
+        out, _ = jax.lax.scan(body, init, jnp.arange(V))
+        out["exhausted_v"] = exhausted
+        return out
+    t = timeit(jax.jit(twophase), geo, grid, packed_tbl, rays_o, rays_d,
+               ready=lambda o: o["t"])
+    print(f"a3. two-phase visit compaction (V={V}): {t*1e3:.1f} ms")
+
+    # cross-check a3 == a (hit t/idx parity on this scene)
+    ha = f_full(geo, grid, rays_o, rays_d)
+    h3 = jax.jit(twophase)(geo, grid, packed_tbl, rays_o, rays_d)
+    same = np.mean(np.asarray(ha["idx"]) == np.asarray(h3["idx"]))
+    print(f"a3 vs a: idx match {same:.5f}, exhausted_v "
+          f"{float(np.mean(np.asarray(h3['exhausted_v']))):.4f}")
+
     # b. candidate-id gathers for all steps
     cell = 1.0 / np.asarray(grid.inv_cell)
     dt = float(cell.min()) * 0.5
