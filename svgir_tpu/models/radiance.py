@@ -94,22 +94,35 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
         # is a traced argument
         n_steps = grid_tracer._concrete_n_steps(grid, grid_t_max)
 
-        # exact visit budget for the compacted march: max occupied steps
-        # over ALL rays (cheap [R]-count probe), bucketed to 16 so the
-        # expensive phase provably never truncates (grid_tracer docstring)
+        # exact visit budgets for the compacted march: probe each ray's
+        # occupied-step count (cheap [R]-count scan), then SORT the rays by
+        # it — each chunk then runs at its own snug bucketed budget instead
+        # of every chunk paying the global worst ray (~3x on typical
+        # scenes: mean ~25 visits vs a ~96 max).  Outputs are unsorted at
+        # the end; the march provably never truncates.
         probe_chunk = 131072
-        vmax = 0
+        counts = []
         for p0 in range(0, r_total, probe_chunk):
             sl = slice(p0, min(p0 + probe_chunk, r_total))
             pad = probe_chunk - (sl.stop - sl.start)
             po = jnp.pad(rays_o[sl], ((0, pad), (0, 0)))
-            pd = jnp.pad(rays_d[sl], ((0, pad), (0, 0)), constant_values=1.0)
+            pdir = jnp.pad(rays_d[sl], ((0, pad), (0, 0)),
+                           constant_values=1.0)
             cnt = grid_tracer.count_occupied_steps(
-                grid, po, pd, t_max=grid_t_max, n_steps=n_steps)
-            vmax = max(vmax, int(jax.device_get(cnt.max())))
-        max_visits = min(-(-max(vmax, 1) // 16) * 16, n_steps)
+                grid, po, pdir, t_max=grid_t_max, n_steps=n_steps)
+            counts.append(cnt[:sl.stop - sl.start])
+        counts = jnp.concatenate(counts)
+        order = jnp.argsort(counts)
+        counts_sorted = jax.device_get(counts[order])
+        rays_o = rays_o[order]
+        rays_d = rays_d[order]
+        self_idx = self_idx[order]
 
-        def run(geo_a, grid_a, shs_a, means_a, o, d, si):
+        def chunk_visits(i):
+            hi = int(counts_sorted[min((i + 1) * ray_chunk, r_total) - 1])
+            return min(-(-max(hi, 1) // 32) * 32, n_steps)
+
+        def run(geo_a, grid_a, shs_a, means_a, o, d, si, *, max_visits):
             hits = grid_tracer.nearest_hits_grid(geo_a, grid_a, o, d,
                                                  t_max=grid_t_max, k=k_hits,
                                                  n_steps=n_steps,
@@ -121,13 +134,13 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
             out["exhausted"] = out["exhausted"] | hits["trunc"]
             return out
     else:
-        def run(geo_a, grid_a, shs_a, means_a, o, d, si):
-            del grid_a
+        def run(geo_a, grid_a, shs_a, means_a, o, d, si, *, max_visits):
+            del grid_a, max_visits
             hits = tracing.nearest_hits(geo_a, o, d, chunk=gauss_chunk,
                                         k=k_hits)
             return tracing.radiance_march(hits, si, shs_a, means_a, o)
 
-    run_j = jax.jit(run)
+    run_j = jax.jit(run, static_argnames=("max_visits",))
     grid_arg = grid if grid is not None else jnp.zeros((0,))
     for i in range(nchunks):
         sl = slice(i * ray_chunk, min((i + 1) * ray_chunk, r_total))
@@ -135,7 +148,8 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
         o = jnp.pad(rays_o[sl], ((0, pad), (0, 0)))
         d = jnp.pad(rays_d[sl], ((0, pad), (0, 0)), constant_values=1.0)
         si = jnp.pad(self_idx[sl], (0, pad))
-        res = run_j(geo, grid_arg, shs, means, o, d, si)
+        res = run_j(geo, grid_arg, shs, means, o, d, si,
+                    max_visits=chunk_visits(i) if use_grid else 0)
         outs.append(jax.tree.map(lambda x: x[:sl.stop - sl.start], res))
         if i % 16 == 15:
             # cap the async dispatch queue: hundreds of multi-second chunk
@@ -143,6 +157,11 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
             jax.block_until_ready(res["radiance"])
 
     cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+    if use_grid:
+        # undo the visit-count ray sort
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0]))
+        cat = jax.tree.map(lambda x: x[inv], cat)
     return {
         "radiance": cat["radiance"].reshape(n, s, 3),
         "visibility": cat["visibility"].reshape(n, s, 1),
