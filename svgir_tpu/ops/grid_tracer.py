@@ -37,7 +37,7 @@ class TraceGrid(NamedTuple):
 
 
 def auto_res(geo: tracing.SurfelGeometry, *, sigma: float = 3.0,
-             target_span: float = 2.0, max_res: int = 64) -> int:
+             target_span: float = 2.0, max_res: int = 128) -> int:
     """Pick a grid resolution so the MEDIAN surfel spans ~target_span cells
     per axis (keeps per-gaussian cell lists within the cap)."""
     import numpy as np
