@@ -27,13 +27,28 @@ from svgir_tpu.ops import tracing
 
 
 class TraceGrid(NamedTuple):
-    cell_ids: jax.Array     # [C, L] int32 gaussian ids (-1 padding)
-    cell_count: jax.Array   # [C] int32 candidates per cell (uncapped)
-    lo: jax.Array           # [3] grid origin
-    inv_cell: jax.Array     # [3] 1 / cell size
+    """Two-level uniform grid + global list.
+
+    Surfels are PARTITIONED by their fine-grid span (covered-cell count):
+    span <= span_cap goes in the fine level, else span at the coarse level
+    <= span_cap goes in the coarse level, else the (normally empty,
+    warned) global list tested at every step.  No surfel's cell coverage
+    is ever clipped — the old single-level ``max_cells_per_gauss``
+    silently dropped cells of large surfels.
+    """
+    cell_ids: jax.Array     # [Cf, Lf] int32 gaussian ids (-1 padding)
+    cell_count: jax.Array   # [Cf] int32 candidates per cell (uncapped)
+    coarse_ids: jax.Array   # [Cc, Lc] int32 (Lc may be 0)
+    coarse_count: jax.Array  # [Cc] int32
+    global_ids: jax.Array   # [B] int32 (B may be 0)
+    lo: jax.Array           # [3] grid origin (both levels)
+    inv_cell: jax.Array     # [3] 1 / fine cell size
+    coarse_inv_cell: jax.Array  # [3] 1 / coarse cell size
     res: int
+    coarse_res: int
     cell_cap: int
-    overflow: jax.Array     # [] bool — some cell exceeded the cap
+    coarse_cap: int
+    overflow: jax.Array     # [] bool — some cell exceeded its cap
 
 
 def auto_res(geo: tracing.SurfelGeometry, *, sigma: float = 3.0,
@@ -51,32 +66,20 @@ def auto_res(geo: tracing.SurfelGeometry, *, sigma: float = 3.0,
     return int(np.clip(res, 4, max_res))
 
 
-def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
-               cell_cap: int = 64, max_cells_per_gauss: int = 64,
-               sigma: float = 3.0) -> TraceGrid:
-    """Bin gaussians into the grid by ±sigma·scale AABBs (bake-time)."""
-    n = geo.means.shape[0]
-    # world AABB from valid gaussians; per-axis half-widths from the rotated
-    # ±sigma corners (|R| @ (sigma*s)), matching the reference's leaf AABBs
-    # (bvh/__init__.py:34-52) — flat surfels get ~zero thickness along the
-    # normal instead of an inflated isotropic box
-    big = 1e30
-    pts = jnp.where(geo.valid[:, None], geo.means, 0.0)
-    r = sigma * jnp.einsum("nij,nj->ni", jnp.abs(geo.rot), geo.scales)
-    r = jnp.where(geo.valid[:, None], r, 0.0)
-    lo = jnp.min(jnp.where(geo.valid[:, None], pts - r, big), axis=0)
-    hi = jnp.max(jnp.where(geo.valid[:, None], pts + r, -big), axis=0)
-    extent = jnp.maximum(hi - lo, 1e-6)
-    inv_cell = res / extent
-
-    # per-gaussian covered cell ranges
-    c0 = jnp.clip(((pts - r - lo) * inv_cell).astype(jnp.int32), 0, res - 1)
-    c1 = jnp.clip(((pts + r - lo) * inv_cell).astype(jnp.int32), 0, res - 1)
+def _bin_level(pts, r_exp, select, lo, inv_cell, res, cell_cap, span_cap):
+    """Bin the SELECTED surfels into one grid level.  ``select`` guarantees
+    span-product <= span_cap, so the [N, span_cap] cell enumeration never
+    clips a surfel's coverage.  Returns (ids [C, L], counts [C],
+    overflow)."""
+    n = pts.shape[0]
+    c0 = jnp.clip(((pts - r_exp - lo) * inv_cell).astype(jnp.int32),
+                  0, res - 1)
+    c1 = jnp.clip(((pts + r_exp - lo) * inv_cell).astype(jnp.int32),
+                  0, res - 1)
     span = c1 - c0 + 1
-    ncells = jnp.where(geo.valid, span[:, 0] * span[:, 1] * span[:, 2], 0)
-    ncells = jnp.minimum(ncells, max_cells_per_gauss)
+    ncells = jnp.where(select, span[:, 0] * span[:, 1] * span[:, 2], 0)
 
-    k = jnp.arange(max_cells_per_gauss)
+    k = jnp.arange(span_cap)
     sx, sy = span[:, 0:1], span[:, 1:2]
     dx = k[None] % sx
     dy = (k[None] // sx) % sy
@@ -93,10 +96,9 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
     cell_f, gid_f = cell.reshape(-1), gid.reshape(-1)
     cell_s, gid_s = jax.lax.sort((cell_f.astype(jnp.int32), gid_f),
                                  num_keys=1, is_stable=True)
-    starts = jnp.searchsorted(cell_s, jnp.arange(num_cells, dtype=jnp.int32),
-                              side="left")
-    counts = jnp.searchsorted(cell_s, jnp.arange(num_cells, dtype=jnp.int32),
-                              side="right") - starts
+    grid_ids = jnp.arange(num_cells, dtype=jnp.int32)
+    starts = jnp.searchsorted(cell_s, grid_ids, side="left")
+    counts = jnp.searchsorted(cell_s, grid_ids, side="right") - starts
     overflow = (counts > cell_cap).any()
 
     slot = jnp.arange(cell_cap)
@@ -104,9 +106,86 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
     ok = slot[None] < jnp.minimum(counts, cell_cap)[:, None]
     src = jnp.clip(src, 0, cell_s.shape[0] - 1)
     ids = jnp.where(ok, gid_s[src], -1)
-    return TraceGrid(cell_ids=ids, cell_count=counts.astype(jnp.int32),
-                     lo=lo, inv_cell=inv_cell, res=res,
-                     cell_cap=cell_cap, overflow=overflow)
+    return ids, counts.astype(jnp.int32), overflow
+
+
+def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
+               cell_cap: int = 64, coarse_cap: int = 64,
+               span_cap: int = 64, coarse_factor: int = 8,
+               sigma: float = 3.0,
+               max_cells_per_gauss: Optional[int] = None) -> TraceGrid:
+    """Bin gaussians into the two-level grid by ±sigma·scale AABBs
+    (bake-time, eager-only: the global-list size is data-dependent).
+
+    AABBs are expanded by half a march step (dt/2) so a hit point within
+    dt/2 of the step midpoint always finds its surfel listed in the
+    midpoint's cell — without this, sub-cell surfels straddling a cell
+    boundary could be missed by rays probing the neighboring cell (the
+    pre-r3 ~0.1%% hit mismatch vs brute force).
+    """
+    if max_cells_per_gauss is not None:   # legacy knob == span budget
+        span_cap = max_cells_per_gauss
+    n = geo.means.shape[0]
+    # world AABB from valid gaussians; per-axis half-widths from the rotated
+    # ±sigma corners (|R| @ (sigma*s)), matching the reference's leaf AABBs
+    # (bvh/__init__.py:34-52) — flat surfels get ~zero thickness along the
+    # normal instead of an inflated isotropic box
+    big = 1e30
+    pts = jnp.where(geo.valid[:, None], geo.means, 0.0)
+    r = sigma * jnp.einsum("nij,nj->ni", jnp.abs(geo.rot), geo.scales)
+    r = jnp.where(geo.valid[:, None], r, 0.0)
+    lo = jnp.min(jnp.where(geo.valid[:, None], pts - r, big), axis=0)
+    hi = jnp.max(jnp.where(geo.valid[:, None], pts + r, -big), axis=0)
+    extent = jnp.maximum(hi - lo, 1e-6)
+    inv_cell = res / extent
+    dt = jnp.min(extent / res) * 0.5
+    r_exp = r + 0.5 * dt
+
+    coarse_res = max(res // coarse_factor, 4)
+    coarse_inv_cell = coarse_res / extent
+
+    def span_prod(ic, rr):
+        c0 = jnp.clip(((pts - r_exp - lo) * ic).astype(jnp.int32), 0, rr - 1)
+        c1 = jnp.clip(((pts + r_exp - lo) * ic).astype(jnp.int32), 0, rr - 1)
+        s = c1 - c0 + 1
+        return s[:, 0] * s[:, 1] * s[:, 2]
+
+    fine_sel = geo.valid & (span_prod(inv_cell, res) <= span_cap)
+    rest = geo.valid & ~fine_sel
+    coarse_sel = rest & (span_prod(coarse_inv_cell, coarse_res) <= span_cap)
+    global_sel = rest & ~coarse_sel
+
+    import numpy as np
+    gsel_np = np.asarray(jax.device_get(global_sel))
+    global_ids = jnp.asarray(np.nonzero(gsel_np)[0].astype(np.int32))
+    if global_ids.shape[0] > 0:
+        print(f"WARNING: {int(global_ids.shape[0])} surfel(s) span more "
+              f"than {span_cap} cells even at coarse res {coarse_res} — "
+              "they are tested at every march step", flush=True)
+
+    ids, counts, overflow_f = _bin_level(
+        pts, r_exp, fine_sel, lo, inv_cell, res, cell_cap, span_cap)
+    any_coarse = bool(jax.device_get(coarse_sel.any()))
+    if any_coarse:
+        cids, ccounts, overflow_c = _bin_level(
+            pts, r_exp, coarse_sel, lo, coarse_inv_cell, coarse_res,
+            coarse_cap, span_cap)
+    else:
+        # zero-width coarse lists: the per-step concat is a no-op, so
+        # small/uniform scenes pay nothing for the second level
+        cids = jnp.full((coarse_res ** 3, 0), -1, jnp.int32)
+        ccounts = jnp.zeros((coarse_res ** 3,), jnp.int32)
+        overflow_c = jnp.asarray(False)
+
+    return TraceGrid(cell_ids=ids, cell_count=counts,
+                     coarse_ids=cids, coarse_count=ccounts,
+                     global_ids=global_ids,
+                     lo=lo, inv_cell=inv_cell,
+                     coarse_inv_cell=coarse_inv_cell,
+                     res=res, coarse_res=coarse_res,
+                     cell_cap=cell_cap,
+                     coarse_cap=cids.shape[1],
+                     overflow=overflow_f | overflow_c)
 
 
 def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
@@ -116,13 +195,14 @@ def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
     (recompiling the query kernels at the new static width) until every
     cell's candidate list fits or ``cap_limit`` is reached.  Eager-only —
     grids are built on the host at bake time."""
+    coarse_cap = 64
     while True:
         grid = build_grid(geo, res=res, cell_cap=cell_cap,
-                          max_cells_per_gauss=max_cells_per_gauss,
-                          sigma=sigma)
+                          coarse_cap=coarse_cap,
+                          span_cap=max_cells_per_gauss, sigma=sigma)
         if not bool(grid.overflow):
             return grid
-        if cell_cap >= cap_limit:
+        if cell_cap >= cap_limit and coarse_cap >= cap_limit:
             # no silent caps (docs/PERF.md): candidates beyond the cap are
             # dropped and rays through hot cells will miss hits
             print(f"WARNING: grid cell_cap limit reached ({cell_cap}) with "
@@ -130,19 +210,46 @@ def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
                   "dropped; lower the grid res or raise cap_limit",
                   flush=True)
             return grid
-        cell_cap *= 2
+        # both levels share the doubling schedule: re-binning is cheap
+        # relative to re-tracing and overflow flags aren't per-level
+        cell_cap = min(cell_cap * 2, cap_limit)
+        coarse_cap = min(coarse_cap * 2, cap_limit)
 
 
 def _cell_index(grid: TraceGrid, pos: jax.Array) -> jax.Array:
-    """Flat cell index [R] at world positions [R, 3]."""
+    """Flat FINE cell index [R] at world positions [R, 3]."""
     c = jnp.clip(((pos - grid.lo) * grid.inv_cell).astype(jnp.int32),
                  0, grid.res - 1)
     return (c[:, 2] * grid.res + c[:, 1]) * grid.res + c[:, 0]
 
 
+def _coarse_index(grid: TraceGrid, pos: jax.Array) -> jax.Array:
+    c = jnp.clip(((pos - grid.lo) * grid.coarse_inv_cell).astype(jnp.int32),
+                 0, grid.coarse_res - 1)
+    return (c[:, 2] * grid.coarse_res + c[:, 1]) * grid.coarse_res + c[:, 0]
+
+
 def _gather_candidates(grid: TraceGrid, pos: jax.Array) -> jax.Array:
-    """Cell candidate ids [R, L] at world positions [R, 3]."""
-    return grid.cell_ids[_cell_index(grid, pos)]
+    """Candidate ids [R, Lf + Lc + B] at world positions [R, 3]: the fine
+    cell's list, the coarse cell's list, and the global list."""
+    parts = [grid.cell_ids[_cell_index(grid, pos)]]
+    if grid.coarse_ids.shape[1] > 0:
+        parts.append(grid.coarse_ids[_coarse_index(grid, pos)])
+    if grid.global_ids.shape[0] > 0:
+        parts.append(jnp.broadcast_to(grid.global_ids[None],
+                                      (pos.shape[0],
+                                       grid.global_ids.shape[0])))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _occupancy_at(grid: TraceGrid, pos: jax.Array) -> jax.Array:
+    """[R] total candidate count at positions (all levels)."""
+    occ = grid.cell_count[_cell_index(grid, pos)]
+    if grid.coarse_ids.shape[1] > 0:
+        occ = occ + grid.coarse_count[_coarse_index(grid, pos)]
+    if grid.global_ids.shape[0] > 0:
+        occ = occ + grid.global_ids.shape[0]
+    return occ
 
 
 # packed-row surfel table: ONE [R, L]-indexed row gather of a 32-lane table
@@ -250,7 +357,7 @@ def _occupancy_scan(grid, rays_o, rays_d, *, t_max, n_steps):
 
     def body(_, j):
         mid = rays_o + (j * dt + 0.5 * dt) * rays_d
-        return None, grid.cell_count[_cell_index(grid, mid)] > 0
+        return None, _occupancy_at(grid, mid) > 0
 
     _, occ = jax.lax.scan(body, None, jnp.arange(n_steps))
     return occ.T
@@ -322,8 +429,7 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
         t_lo = jj * dt
         t_hi = jnp.minimum((jj + 1) * dt, t_max)
         mid = rays_o + (t_lo + 0.5 * dt)[:, None] * rays_d
-        ids = jnp.where(live[:, None],
-                        grid.cell_ids[_cell_index(grid, mid)], -1)
+        ids = jnp.where(live[:, None], _gather_candidates(grid, mid), -1)
         cand = _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi,
                                 packed=packed)
         all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)

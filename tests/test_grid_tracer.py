@@ -90,3 +90,42 @@ def test_full_bake_grid_matches_brute():
                                np.asarray(brute["visibility"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(grid["uv"]),
                                np.asarray(brute["uv"]), atol=1e-5)
+
+
+def test_mixed_scale_scene_uses_coarse_and_global_levels():
+    """Large surfels whose AABB spans many fine cells go to the coarse
+    level (or the global list for giants) instead of having their cell
+    coverage silently clipped — hits must still match brute force exactly.
+    Pre-r3 the single-level ``max_cells_per_gauss`` dropped far cells of
+    big surfels (missed hits, no signal)."""
+    n = 300
+    key = jax.random.PRNGKey(0)
+    dirs = normalize(jax.random.normal(key, (n, 3)))
+    means = dirs * 0.5
+    quats = normal_to_rotation(-dirs)
+    # small surfels + 6 big ones + 1 giant (spans most of the scene)
+    scale = jnp.full((n,), 0.01).at[:6].set(0.22).at[6].set(0.8)
+    scales = jnp.stack([scale, scale, jnp.full((n,), 1e-9)], axis=1)
+    opac = jax.random.uniform(jax.random.PRNGKey(1), (n,), minval=0.3,
+                              maxval=0.9)
+    geo = tracing.build_surfel_geometry(means, scales, quats, opac)
+
+    res = 64   # fine cells are tiny vs the big surfels
+    grid = grid_tracer.build_grid_auto(geo, res=res)
+    assert not bool(grid.overflow)
+    assert grid.coarse_ids.shape[1] > 0, "coarse level should be populated"
+    assert int((grid.coarse_count > 0).sum()) > 0
+    assert grid.global_ids.shape[0] >= 1, "giant should be in global list"
+
+    ro = 0.02 * jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    rd = normalize(jax.random.normal(jax.random.PRNGKey(3), (64, 3)))
+    hb = tracing.nearest_hits(geo, ro, rd, k=8)
+    hg = grid_tracer.nearest_hits_grid(geo, grid, ro, rd, t_max=3.0, k=8)
+    tb, tg = np.asarray(hb["t"]), np.asarray(hg["t"])
+    ib, ig = np.asarray(hb["idx"]), np.asarray(hg["idx"])
+    for r in range(64):
+        fb = tb[r][np.isfinite(tb[r])]
+        fg = tg[r][np.isfinite(tg[r])]
+        assert len(fb) == len(fg), f"ray {r}: {len(fb)} vs {len(fg)} hits"
+        np.testing.assert_allclose(fb, fg, atol=1e-5)
+        assert (ib[r][:len(fb)] == ig[r][:len(fg)]).all()
