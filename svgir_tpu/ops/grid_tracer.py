@@ -27,27 +27,25 @@ from svgir_tpu.ops import tracing
 
 
 class TraceGrid(NamedTuple):
-    """Two-level uniform grid + global list.
+    """Uniform grid for small surfels + dense list for large ones.
 
-    Surfels are PARTITIONED by their fine-grid span (covered-cell count):
-    span <= span_cap goes in the fine level, else span at the coarse level
-    <= span_cap goes in the coarse level, else the (normally empty,
-    warned) global list tested at every step.  No surfel's cell coverage
-    is ever clipped — the old single-level ``max_cells_per_gauss``
-    silently dropped cells of large surfels.
+    Surfels are PARTITIONED by their grid span (covered-cell count):
+    span <= span_cap bins into the cell lists; the rest — typically a few
+    hundred large surfels after densification — go to ``big_ids`` and are
+    tested ONCE per ray in a dense [R, B] pass merged into the march's
+    top-k (exact: a surfel lives in exactly one partition).  No surfel's
+    cell coverage is ever clipped — the old single-level
+    ``max_cells_per_gauss`` silently dropped far cells of large surfels —
+    and big surfels never inflate per-step cell occupancy, which would
+    defeat the visit compaction.
     """
-    cell_ids: jax.Array     # [Cf, Lf] int32 gaussian ids (-1 padding)
-    cell_count: jax.Array   # [Cf] int32 candidates per cell (uncapped)
-    coarse_ids: jax.Array   # [Cc, Lc] int32 (Lc may be 0)
-    coarse_count: jax.Array  # [Cc] int32
-    global_ids: jax.Array   # [B] int32 (B may be 0)
-    lo: jax.Array           # [3] grid origin (both levels)
-    inv_cell: jax.Array     # [3] 1 / fine cell size
-    coarse_inv_cell: jax.Array  # [3] 1 / coarse cell size
+    cell_ids: jax.Array     # [C, L] int32 gaussian ids (-1 padding)
+    cell_count: jax.Array   # [C] int32 candidates per cell (uncapped)
+    big_ids: jax.Array      # [B] int32 (B may be 0)
+    lo: jax.Array           # [3] grid origin
+    inv_cell: jax.Array     # [3] 1 / cell size
     res: int
-    coarse_res: int
     cell_cap: int
-    coarse_cap: int
     overflow: jax.Array     # [] bool — some cell exceeded its cap
 
 
@@ -110,22 +108,21 @@ def _bin_level(pts, r_exp, select, lo, inv_cell, res, cell_cap, span_cap):
 
 
 def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
-               cell_cap: int = 64, coarse_cap: int = 64,
-               span_cap: int = 64, coarse_factor: int = 8,
+               cell_cap: int = 64, span_cap: int = 64,
                sigma: float = 3.0,
-               max_cells_per_gauss: Optional[int] = None) -> TraceGrid:
-    """Bin gaussians into the two-level grid by ±sigma·scale AABBs
-    (bake-time, eager-only: the global-list size is data-dependent).
+               max_cells_per_gauss: Optional[int] = None,
+               big_warn_frac: float = 0.05) -> TraceGrid:
+    """Bin gaussians into the grid by ±sigma·scale AABBs (bake-time,
+    eager-only: the big-list size is data-dependent).
 
     AABBs are expanded by half a march step (dt/2) so a hit point within
     dt/2 of the step midpoint always finds its surfel listed in the
     midpoint's cell — without this, sub-cell surfels straddling a cell
     boundary could be missed by rays probing the neighboring cell (the
-    pre-r3 ~0.1%% hit mismatch vs brute force).
+    pre-r3 ~0.1% hit mismatch vs brute force).
     """
     if max_cells_per_gauss is not None:   # legacy knob == span budget
         span_cap = max_cells_per_gauss
-    n = geo.means.shape[0]
     # world AABB from valid gaussians; per-axis half-widths from the rotated
     # ±sigma corners (|R| @ (sigma*s)), matching the reference's leaf AABBs
     # (bvh/__init__.py:34-52) — flat surfels get ~zero thickness along the
@@ -141,51 +138,28 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
     dt = jnp.min(extent / res) * 0.5
     r_exp = r + 0.5 * dt
 
-    coarse_res = max(res // coarse_factor, 4)
-    coarse_inv_cell = coarse_res / extent
-
-    def span_prod(ic, rr):
-        c0 = jnp.clip(((pts - r_exp - lo) * ic).astype(jnp.int32), 0, rr - 1)
-        c1 = jnp.clip(((pts + r_exp - lo) * ic).astype(jnp.int32), 0, rr - 1)
-        s = c1 - c0 + 1
-        return s[:, 0] * s[:, 1] * s[:, 2]
-
-    fine_sel = geo.valid & (span_prod(inv_cell, res) <= span_cap)
-    rest = geo.valid & ~fine_sel
-    coarse_sel = rest & (span_prod(coarse_inv_cell, coarse_res) <= span_cap)
-    global_sel = rest & ~coarse_sel
+    c0 = jnp.clip(((pts - r_exp - lo) * inv_cell).astype(jnp.int32),
+                  0, res - 1)
+    c1 = jnp.clip(((pts + r_exp - lo) * inv_cell).astype(jnp.int32),
+                  0, res - 1)
+    s = c1 - c0 + 1
+    fine_sel = geo.valid & (s[:, 0] * s[:, 1] * s[:, 2] <= span_cap)
 
     import numpy as np
-    gsel_np = np.asarray(jax.device_get(global_sel))
-    global_ids = jnp.asarray(np.nonzero(gsel_np)[0].astype(np.int32))
-    if global_ids.shape[0] > 0:
-        print(f"WARNING: {int(global_ids.shape[0])} surfel(s) span more "
-              f"than {span_cap} cells even at coarse res {coarse_res} — "
-              "they are tested at every march step", flush=True)
+    big_np = np.asarray(jax.device_get(geo.valid & ~fine_sel))
+    big_ids = jnp.asarray(np.nonzero(big_np)[0].astype(np.int32))
+    n_valid = max(int(np.asarray(jax.device_get(geo.valid)).sum()), 1)
+    if big_ids.shape[0] > big_warn_frac * n_valid:
+        print(f"WARNING: {int(big_ids.shape[0])}/{n_valid} surfels exceed "
+              f"the {span_cap}-cell span budget at res={res} — the dense "
+              "big-surfel pass degenerates toward brute force; lower the "
+              "grid res", flush=True)
 
-    ids, counts, overflow_f = _bin_level(
+    ids, counts, overflow = _bin_level(
         pts, r_exp, fine_sel, lo, inv_cell, res, cell_cap, span_cap)
-    any_coarse = bool(jax.device_get(coarse_sel.any()))
-    if any_coarse:
-        cids, ccounts, overflow_c = _bin_level(
-            pts, r_exp, coarse_sel, lo, coarse_inv_cell, coarse_res,
-            coarse_cap, span_cap)
-    else:
-        # zero-width coarse lists: the per-step concat is a no-op, so
-        # small/uniform scenes pay nothing for the second level
-        cids = jnp.full((coarse_res ** 3, 0), -1, jnp.int32)
-        ccounts = jnp.zeros((coarse_res ** 3,), jnp.int32)
-        overflow_c = jnp.asarray(False)
-
-    return TraceGrid(cell_ids=ids, cell_count=counts,
-                     coarse_ids=cids, coarse_count=ccounts,
-                     global_ids=global_ids,
-                     lo=lo, inv_cell=inv_cell,
-                     coarse_inv_cell=coarse_inv_cell,
-                     res=res, coarse_res=coarse_res,
-                     cell_cap=cell_cap,
-                     coarse_cap=cids.shape[1],
-                     overflow=overflow_f | overflow_c)
+    return TraceGrid(cell_ids=ids, cell_count=counts, big_ids=big_ids,
+                     lo=lo, inv_cell=inv_cell, res=res, cell_cap=cell_cap,
+                     overflow=overflow)
 
 
 def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
@@ -195,14 +169,12 @@ def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
     (recompiling the query kernels at the new static width) until every
     cell's candidate list fits or ``cap_limit`` is reached.  Eager-only —
     grids are built on the host at bake time."""
-    coarse_cap = 64
     while True:
         grid = build_grid(geo, res=res, cell_cap=cell_cap,
-                          coarse_cap=coarse_cap,
                           span_cap=max_cells_per_gauss, sigma=sigma)
         if not bool(grid.overflow):
             return grid
-        if cell_cap >= cap_limit and coarse_cap >= cap_limit:
+        if cell_cap >= cap_limit:
             # no silent caps (docs/PERF.md): candidates beyond the cap are
             # dropped and rays through hot cells will miss hits
             print(f"WARNING: grid cell_cap limit reached ({cell_cap}) with "
@@ -210,46 +182,25 @@ def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
                   "dropped; lower the grid res or raise cap_limit",
                   flush=True)
             return grid
-        # both levels share the doubling schedule: re-binning is cheap
-        # relative to re-tracing and overflow flags aren't per-level
         cell_cap = min(cell_cap * 2, cap_limit)
-        coarse_cap = min(coarse_cap * 2, cap_limit)
 
 
 def _cell_index(grid: TraceGrid, pos: jax.Array) -> jax.Array:
-    """Flat FINE cell index [R] at world positions [R, 3]."""
+    """Flat cell index [R] at world positions [R, 3]."""
     c = jnp.clip(((pos - grid.lo) * grid.inv_cell).astype(jnp.int32),
                  0, grid.res - 1)
     return (c[:, 2] * grid.res + c[:, 1]) * grid.res + c[:, 0]
 
 
-def _coarse_index(grid: TraceGrid, pos: jax.Array) -> jax.Array:
-    c = jnp.clip(((pos - grid.lo) * grid.coarse_inv_cell).astype(jnp.int32),
-                 0, grid.coarse_res - 1)
-    return (c[:, 2] * grid.coarse_res + c[:, 1]) * grid.coarse_res + c[:, 0]
-
-
 def _gather_candidates(grid: TraceGrid, pos: jax.Array) -> jax.Array:
-    """Candidate ids [R, Lf + Lc + B] at world positions [R, 3]: the fine
-    cell's list, the coarse cell's list, and the global list."""
-    parts = [grid.cell_ids[_cell_index(grid, pos)]]
-    if grid.coarse_ids.shape[1] > 0:
-        parts.append(grid.coarse_ids[_coarse_index(grid, pos)])
-    if grid.global_ids.shape[0] > 0:
-        parts.append(jnp.broadcast_to(grid.global_ids[None],
-                                      (pos.shape[0],
-                                       grid.global_ids.shape[0])))
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    """Cell candidate ids [R, L] at world positions [R, 3] (small-surfel
+    partition only — big surfels take the dense once-per-ray pass)."""
+    return grid.cell_ids[_cell_index(grid, pos)]
 
 
 def _occupancy_at(grid: TraceGrid, pos: jax.Array) -> jax.Array:
-    """[R] total candidate count at positions (all levels)."""
-    occ = grid.cell_count[_cell_index(grid, pos)]
-    if grid.coarse_ids.shape[1] > 0:
-        occ = occ + grid.coarse_count[_coarse_index(grid, pos)]
-    if grid.global_ids.shape[0] > 0:
-        occ = occ + grid.global_ids.shape[0]
-    return occ
+    """[R] cell candidate count at positions (small-surfel partition)."""
+    return grid.cell_count[_cell_index(grid, pos)]
 
 
 # packed-row surfel table: ONE [R, L]-indexed row gather of a 32-lane table
@@ -446,7 +397,52 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
         }, None
 
     hits, _ = jax.lax.scan(body, init, jnp.arange(max_visits))
+    hits = _merge_big(hits, geo, grid, packed, rays_o, rays_d,
+                      jnp.zeros((r,)), jnp.full((r,), t_max), k=k)
     hits["trunc"] = trunc
+    return hits
+
+
+_BIG_BLOCK = 256
+
+
+def _big_blocks(grid: TraceGrid):
+    """Big-surfel ids as padded [nb, _BIG_BLOCK] blocks (static shapes)."""
+    b = grid.big_ids.shape[0]
+    nb = -(-b // _BIG_BLOCK)
+    pad = nb * _BIG_BLOCK - b
+    return jnp.concatenate(
+        [grid.big_ids, jnp.full((pad,), -1, jnp.int32)]).reshape(
+            nb, _BIG_BLOCK)
+
+
+def _merge_big(hits, geo, grid, packed, rays_o, rays_d, t_lo, t_hi, *, k):
+    """Dense once-per-ray pass over the big-surfel partition, merged into
+    the march's top-k.  Exact: big surfels are absent from all cell lists,
+    each is tested exactly once per ray with the same acceptance rules and
+    the same overall [t_lo, t_hi) window the march covers."""
+    if grid.big_ids.shape[0] == 0:
+        return hits
+    r = rays_o.shape[0]
+
+    def body(carry, blk):
+        ids = jnp.broadcast_to(blk[None], (r, _BIG_BLOCK))
+        cand = _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi,
+                                packed=packed)
+        all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
+        all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
+        all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]], axis=1)
+        all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
+        neg_top, sel = jax.lax.top_k(-all_t, k)
+        take = jnp.take_along_axis
+        return {
+            "t": -neg_top,
+            "idx": take(all_idx, sel, axis=1),
+            "alpha": take(all_alpha, sel, axis=1),
+            "uv": take(all_uv, sel[..., None], axis=1),
+        }, None
+
+    hits, _ = jax.lax.scan(body, hits, _big_blocks(grid))
     return hits
 
 
@@ -484,6 +480,27 @@ def trace_visibility_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
     (log_t, count), _ = jax.lax.scan(
         body, (jnp.zeros((r,)), jnp.zeros((r,), jnp.int32)),
         jnp.arange(n_steps))
+
+    if grid.big_ids.shape[0] > 0:
+        # dense once-per-ray pass over the big-surfel partition (the
+        # (1-a) product is order-independent, so no merge is needed)
+        def bbody(carry, blk):
+            log_t, count = carry
+            ids = jnp.broadcast_to(blk[None], (r, _BIG_BLOCK))
+            cand = _test_candidates(geo, ids, rays_o, rays_d,
+                                    jnp.full((r,), 0.01),
+                                    jnp.full((r,), t_max), packed=packed)
+            ok = ((cand["idx"] >= 0) & cand["valid"]
+                  & (cand["opacity"] >= tracing.ALPHA_MIN)
+                  & jnp.isfinite(cand["t"]))
+            a = jnp.where(ok, jnp.minimum(cand["alpha"], tracing.ALPHA_MAX),
+                          0.0)
+            return (log_t + jnp.sum(jnp.log1p(-a), axis=1),
+                    count + ok.sum(axis=1)), None
+
+        (log_t, count), _ = jax.lax.scan(bbody, (log_t, count),
+                                         _big_blocks(grid))
+
     vis = jnp.exp(log_t)
     vis = jnp.where(vis < 0.9, 0.0, vis)
     return {"visibility": vis[:, None], "contribute": count[:, None]}

@@ -92,12 +92,12 @@ def test_full_bake_grid_matches_brute():
                                np.asarray(brute["uv"]), atol=1e-5)
 
 
-def test_mixed_scale_scene_uses_coarse_and_global_levels():
-    """Large surfels whose AABB spans many fine cells go to the coarse
-    level (or the global list for giants) instead of having their cell
-    coverage silently clipped — hits must still match brute force exactly.
-    Pre-r3 the single-level ``max_cells_per_gauss`` dropped far cells of
-    big surfels (missed hits, no signal)."""
+def test_mixed_scale_scene_uses_big_partition():
+    """Large surfels whose AABB spans many cells go to the dense
+    once-per-ray big partition instead of having their cell coverage
+    silently clipped — hits must still match brute force exactly.  Pre-r3
+    the single-level ``max_cells_per_gauss`` dropped far cells of big
+    surfels (missed hits, no signal)."""
     n = 300
     key = jax.random.PRNGKey(0)
     dirs = normalize(jax.random.normal(key, (n, 3)))
@@ -113,9 +113,7 @@ def test_mixed_scale_scene_uses_coarse_and_global_levels():
     res = 64   # fine cells are tiny vs the big surfels
     grid = grid_tracer.build_grid_auto(geo, res=res)
     assert not bool(grid.overflow)
-    assert grid.coarse_ids.shape[1] > 0, "coarse level should be populated"
-    assert int((grid.coarse_count > 0).sum()) > 0
-    assert grid.global_ids.shape[0] >= 1, "giant should be in global list"
+    assert grid.big_ids.shape[0] >= 7, "the 7 large surfels should be big"
 
     ro = 0.02 * jax.random.normal(jax.random.PRNGKey(2), (64, 3))
     rd = normalize(jax.random.normal(jax.random.PRNGKey(3), (64, 3)))
