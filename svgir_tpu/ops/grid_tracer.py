@@ -50,18 +50,40 @@ class TraceGrid(NamedTuple):
 
 
 def auto_res(geo: tracing.SurfelGeometry, *, sigma: float = 3.0,
-             target_span: float = 2.0, max_res: int = 128) -> int:
-    """Pick a grid resolution so the MEDIAN surfel spans ~target_span cells
-    per axis (keeps per-gaussian cell lists within the cap)."""
+             target_span: float = 2.0, max_res: int = 128,
+             span_cap: int = 64, big_frac: float = 0.01) -> int:
+    """Pick a grid resolution: start from the res where the MEDIAN surfel
+    spans ~target_span cells per axis, then walk down until at most
+    ``big_frac`` of surfels exceed the ``span_cap``-cell span budget
+    (exact span simulation, including the dt/2 AABB expansion and AABB
+    cubing of tilted disks) — otherwise wide scale distributions dump a
+    large fraction of surfels into the dense big-surfel pass."""
     import numpy as np
-    sc = np.asarray(geo.scales)[np.asarray(geo.valid)]
-    pts = np.asarray(geo.means)[np.asarray(geo.valid)]
+    valid = np.asarray(geo.valid)
+    sc = np.asarray(geo.scales)[valid]
+    pts = np.asarray(geo.means)[valid]
     if len(sc) == 0:
         return 16
     med = np.median(sc.max(axis=1))
-    extent = float((pts.max(0) - pts.min(0)).max()) + 2 * sigma * med + 1e-6
-    res = int(extent / max(2 * sigma * med / target_span, 1e-6))
-    return int(np.clip(res, 4, max_res))
+    ext3 = pts.max(0) - pts.min(0) + 2 * sigma * sc.max() + 1e-6
+    extent = float(ext3.max())
+    res_med = int(np.clip(extent / max(2 * sigma * med / target_span, 1e-6),
+                          4, max_res))
+    # exact per-surfel AABB half widths (sigma * |R| s, as build_grid bins)
+    r = sigma * np.einsum("nij,nj->ni", np.abs(np.asarray(geo.rot)[valid]),
+                          sc)
+    res = res_med
+    while res > 4:
+        cell = ext3 / res
+        e = float(cell.min()) / 4.0          # dt/2 expansion per side
+        # expected span (alignment-averaged); the exact build routes the
+        # few upper-bound stragglers to the big list anyway
+        span = np.floor(2 * (r + e) / cell[None]).astype(np.int64) + 1
+        frac = float(np.mean(span.prod(axis=1) > span_cap))
+        if frac <= big_frac:
+            break
+        res = max(int(res * 0.75), 4)
+    return res
 
 
 def _bin_level(pts, r_exp, select, lo, inv_cell, res, cell_cap, span_cap):
