@@ -186,23 +186,34 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
 
 def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
                     cell_cap: int = 64, max_cells_per_gauss: int = 64,
-                    sigma: float = 3.0, cap_limit: int = 1024) -> TraceGrid:
-    """build_grid with graceful cell-cap overflow handling: doubles the cap
-    (recompiling the query kernels at the new static width) until every
-    cell's candidate list fits or ``cap_limit`` is reached.  Eager-only —
-    grids are built on the host at bake time."""
+                    sigma: float = 3.0, cap_limit: int = 512,
+                    res_limit: int = 192) -> TraceGrid:
+    """build_grid with graceful overflow handling, eager-only.
+
+    Per-cell candidate caps double until every cell's list fits.  If a
+    cell still overflows at ``cap_limit`` — hot cells densely packed with
+    tiny surfels — the RESOLUTION escalates (x1.5) instead: thinner cells
+    drain the hot spots, and the larger-surfel tail this creates stays
+    exact through the dense big-surfel pass.  cap_limit is deliberately
+    modest: fat lists cost [R, L, 32] gather traffic on every visit,
+    while higher res only grows the (cheap) table memory and the big
+    list."""
     while True:
         grid = build_grid(geo, res=res, cell_cap=cell_cap,
                           span_cap=max_cells_per_gauss, sigma=sigma)
         if not bool(grid.overflow):
             return grid
         if cell_cap >= cap_limit:
+            if res < res_limit:
+                res = min(int(res * 1.5), res_limit)
+                cell_cap = 64
+                continue
             # no silent caps (docs/PERF.md): candidates beyond the cap are
             # dropped and rays through hot cells will miss hits
             print(f"WARNING: grid cell_cap limit reached ({cell_cap}) with "
-                  f"overflowing cells at res={res} — some candidates are "
-                  "dropped; lower the grid res or raise cap_limit",
-                  flush=True)
+                  f"overflowing cells at res={res} (res_limit "
+                  f"{res_limit}) — some candidates are dropped; raise "
+                  "cap_limit or res_limit", flush=True)
             return grid
         cell_cap = min(cell_cap * 2, cap_limit)
 
