@@ -121,11 +121,18 @@ def _bin_level(pts, r_exp, select, lo, inv_cell, res, cell_cap, span_cap):
     counts = jnp.searchsorted(cell_s, grid_ids, side="right") - starts
     overflow = (counts > cell_cap).any()
 
+    # chunk the [C, L] slot expansion: at high res (2M cells) the src/ok/
+    # ids temporaries would otherwise take several GB each on device
     slot = jnp.arange(cell_cap)
-    src = starts[:, None] + slot[None]                        # [C, L]
-    ok = slot[None] < jnp.minimum(counts, cell_cap)[:, None]
-    src = jnp.clip(src, 0, cell_s.shape[0] - 1)
-    ids = jnp.where(ok, gid_s[src], -1)
+    blocks = []
+    step = max((1 << 22) // max(cell_cap, 1), 1)
+    for b0 in range(0, num_cells, step):
+        b1 = min(b0 + step, num_cells)
+        src = starts[b0:b1, None] + slot[None]                # [c, L]
+        ok = slot[None] < jnp.minimum(counts[b0:b1], cell_cap)[:, None]
+        src = jnp.clip(src, 0, cell_s.shape[0] - 1)
+        blocks.append(jnp.where(ok, gid_s[src], -1))
+    ids = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
     return ids, counts.astype(jnp.int32), overflow
 
 
@@ -187,7 +194,7 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
 def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
                     cell_cap: int = 64, max_cells_per_gauss: int = 64,
                     sigma: float = 3.0, cap_limit: int = 512,
-                    res_limit: int = 192) -> TraceGrid:
+                    res_limit: int = 128) -> TraceGrid:
     """build_grid with graceful overflow handling, eager-only.
 
     Per-cell candidate caps double until every cell's list fits.  If a
