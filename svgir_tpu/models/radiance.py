@@ -95,11 +95,11 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
         n_steps = grid_tracer._concrete_n_steps(grid, grid_t_max)
 
         # exact visit budgets for the compacted march: probe each ray's
-        # occupied-step count (cheap [R]-count scan), then SORT the rays by
-        # it — each chunk then runs at its own snug bucketed budget instead
-        # of every chunk paying the global worst ray (~3x on typical
-        # scenes: mean ~25 visits vs a ~96 max).  Outputs are unsorted at
-        # the end; the march provably never truncates.
+        # candidate-BLOCK count (cheap [R]-count scan), then SORT the rays
+        # by it — each chunk then runs at its own snug bucketed budget
+        # instead of every chunk paying the global worst ray (~3x on
+        # typical scenes: mean ~25 visits vs a ~96 max).  Outputs are
+        # unsorted at the end; the march provably never truncates.
         probe_chunk = 131072
         counts = []
         for p0 in range(0, r_total, probe_chunk):
@@ -108,7 +108,7 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
             po = jnp.pad(rays_o[sl], ((0, pad), (0, 0)))
             pdir = jnp.pad(rays_d[sl], ((0, pad), (0, 0)),
                            constant_values=1.0)
-            cnt = grid_tracer.count_occupied_steps(
+            cnt = grid_tracer.count_visit_blocks(
                 grid, po, pdir, t_max=grid_t_max, n_steps=n_steps)
             counts.append(cnt[:sl.stop - sl.start])
         counts = jnp.concatenate(counts)
@@ -119,8 +119,10 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
         self_idx = self_idx[order]
 
         def chunk_visits(i):
+            # snug bucketed block budget for chunk i (rays sorted by count;
+            # nearest_hits_grid clamps to the structural worst case)
             hi = int(counts_sorted[min((i + 1) * ray_chunk, r_total) - 1])
-            return min(-(-max(hi, 1) // 32) * 32, n_steps)
+            return -(-max(hi, 1) // 32) * 32
 
         def run(geo_a, grid_a, shs_a, means_a, o, d, si, *, max_visits):
             hits = grid_tracer.nearest_hits_grid(geo_a, grid_a, o, d,

@@ -25,6 +25,11 @@ import jax.numpy as jnp
 
 from svgir_tpu.ops import tracing
 
+# per-visit candidate width of the compacted march: each visit tests one
+# 128-wide slice of one cell's list, so per-cell caps can grow tall for
+# hot cells without inflating every visit's [R, L, 32] gather
+_TRACE_BLOCK = 128
+
 
 class TraceGrid(NamedTuple):
     """Uniform grid for small surfels + dense list for large ones.
@@ -333,10 +338,19 @@ def _concrete_n_steps(grid: TraceGrid, t_max: float) -> int:
 def count_occupied_steps(grid: TraceGrid, rays_o: jax.Array,
                          rays_d: jax.Array, *, t_max: float,
                          n_steps: int) -> jax.Array:
-    """[R] number of march steps whose cell holds >= 1 candidate — the
-    exact visit budget a compacted march needs for each ray."""
+    """[R] number of march steps whose cell holds >= 1 candidate."""
     return _occupancy_scan(grid, rays_o, rays_d, t_max=t_max,
                            n_steps=n_steps).sum(1)
+
+
+def count_visit_blocks(grid: TraceGrid, rays_o: jax.Array,
+                       rays_d: jax.Array, *, t_max: float, n_steps: int,
+                       blk: int = _TRACE_BLOCK) -> jax.Array:
+    """[R] total candidate BLOCKS over a ray's march — the exact visit
+    budget of the sub-block compacted march (each visit tests one
+    ``blk``-wide slice of one cell's list)."""
+    return _block_scan(grid, rays_o, rays_d, t_max=t_max,
+                       n_steps=n_steps, blk=blk).sum(1)
 
 
 @partial(jax.jit, static_argnames=("n_steps",))
@@ -352,6 +366,23 @@ def _occupancy_scan(grid, rays_o, rays_d, *, t_max, n_steps):
 
     _, occ = jax.lax.scan(body, None, jnp.arange(n_steps))
     return occ.T
+
+
+@partial(jax.jit, static_argnames=("n_steps", "blk"))
+def _block_scan(grid, rays_o, rays_d, *, t_max, n_steps, blk):
+    """[R, n_steps] int32 — candidate blocks (ceil(count/blk), count
+    clipped to the cap) in each step's cell."""
+    del t_max
+    dt = jnp.min(1.0 / grid.inv_cell) * 0.5
+    cap = grid.cell_ids.shape[1]
+
+    def body(_, j):
+        mid = rays_o + (j * dt + 0.5 * dt) * rays_d
+        cnt = jnp.minimum(_occupancy_at(grid, mid), cap)
+        return None, -(-cnt // blk)
+
+    _, nb = jax.lax.scan(body, None, jnp.arange(n_steps))
+    return nb.T
 
 
 def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
@@ -371,18 +402,20 @@ def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
        scans only the first ``max_visits`` occupied steps per ray,
        cond-free.
 
-    Visits advance monotonically in t and each step tests its own t-span,
-    so merged hits stay globally depth-sorted and duplicates cancel —
+    Visits advance monotonically in t, each visit tests one _TRACE_BLOCK-
+    wide slice of one step's cell list within that step's t-span, so
+    merged hits stay globally depth-sorted and duplicates cancel —
     identical outputs to the full scan whenever no ray exceeds
-    ``max_visits`` (callers get exactness by probing
-    ``count_occupied_steps().max()`` first, as ``bake_radiance`` does).
-    ``max_visits=None`` scans every step (always exact, slower).
+    ``max_visits`` BLOCK visits (callers get exactness by probing
+    ``count_visit_blocks().max()`` first, as ``bake_radiance`` does).
+    ``max_visits=None`` uses the worst case (always exact, slower).
     """
     if n_steps is None:
         n_steps = _concrete_n_steps(grid, t_max)
+    nb_cap = -(-grid.cell_ids.shape[1] // _TRACE_BLOCK)
     if max_visits is None:
-        max_visits = n_steps
-    max_visits = min(max_visits, n_steps)
+        max_visits = n_steps * nb_cap
+    max_visits = min(max_visits, n_steps * nb_cap)
     return _nearest_hits_grid(geo, grid, rays_o, rays_d, t_max=t_max, k=k,
                               n_steps=n_steps, max_visits=max_visits)
 
@@ -393,16 +426,26 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
     r = rays_o.shape[0]
     cell_size = 1.0 / grid.inv_cell
     dt = jnp.min(cell_size) * 0.5      # half-cell steps: no diagonal misses
+    cap = grid.cell_ids.shape[1]
+    blk = _TRACE_BLOCK
+    nb_cap = -(-cap // blk)
+    # cell lists as [C * nb_cap, blk] rows: (cell, block) pairs become one
+    # row gather
+    ids_blocked = grid.cell_ids.reshape(-1, nb_cap, blk).reshape(-1, blk) \
+        if cap % blk == 0 else jnp.pad(
+            grid.cell_ids, ((0, 0), (0, nb_cap * blk - cap)),
+            constant_values=-1).reshape(-1, blk)
 
-    occ = _occupancy_scan(grid, rays_o, rays_d, t_max=t_max,
-                          n_steps=n_steps)                 # [R, n_steps]
-    # first max_visits occupied step indices, ascending (top_k of negated
-    # steps); dead visit slots get n_steps + 9 -> masked in the body
-    steps_or_big = jnp.where(occ, jnp.arange(n_steps)[None, :],
+    nblocks = _block_scan(grid, rays_o, rays_d, t_max=t_max,
+                          n_steps=n_steps, blk=blk)       # [R, n_steps]
+    # occupied step indices, ascending; dead slots -> n_steps + 9.  The
+    # step-level visit list is at most max_visits long (>=1 block/step)
+    steps_or_big = jnp.where(nblocks > 0, jnp.arange(n_steps)[None, :],
                              n_steps + 9)
-    neg, _ = jax.lax.top_k(-steps_or_big, max_visits)
-    visit_step = -neg                                      # [R, V]
-    trunc = occ.sum(1) > max_visits
+    vs_budget = min(max_visits, n_steps)
+    neg, _ = jax.lax.top_k(-steps_or_big, vs_budget)
+    visit_step = -neg                                      # [R, Vs]
+    trunc = nblocks.sum(1) > max_visits
 
     init = {
         "t": jnp.full((r, k), jnp.inf),
@@ -412,31 +455,44 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
     }
 
     packed = pack_geometry(geo)
+    rows = jnp.arange(r)
 
-    def body(carry, v):
-        j = visit_step[:, v]                               # [R]
-        live = j < n_steps
+    def body(carry, _):
+        vi, bi, hits = carry
+        j = visit_step[rows, jnp.minimum(vi, vs_budget - 1)]   # [R]
+        live = (j < n_steps) & (vi < vs_budget)
         jj = jnp.minimum(j, n_steps - 1).astype(rays_o.dtype)
         t_lo = jj * dt
         t_hi = jnp.minimum((jj + 1) * dt, t_max)
         mid = rays_o + (t_lo + 0.5 * dt)[:, None] * rays_d
-        ids = jnp.where(live[:, None], _gather_candidates(grid, mid), -1)
+        cell = _cell_index(grid, mid)
+        row = cell * nb_cap + bi
+        ids = jnp.where(live[:, None], ids_blocked[row], -1)
         cand = _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi,
                                 packed=packed)
-        all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
-        all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
-        all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]], axis=1)
-        all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
+        all_t = jnp.concatenate([hits["t"], cand["t"]], axis=1)
+        all_idx = jnp.concatenate([hits["idx"], cand["idx"]], axis=1)
+        all_alpha = jnp.concatenate([hits["alpha"], cand["alpha"]], axis=1)
+        all_uv = jnp.concatenate([hits["uv"], cand["uv"]], axis=1)
         neg_top, sel = jax.lax.top_k(-all_t, k)
         take = jnp.take_along_axis
-        return {
+        hits = {
             "t": -neg_top,
             "idx": take(all_idx, sel, axis=1),
             "alpha": take(all_alpha, sel, axis=1),
             "uv": take(all_uv, sel[..., None], axis=1),
-        }, None
+        }
+        # cursor advance: next block of this cell, else next occupied step
+        nb_here = jnp.minimum(_occupancy_at(grid, mid), cap)
+        nb_here = -(-nb_here // blk)
+        more = live & (bi + 1 < nb_here)
+        vi = jnp.where(more, vi, vi + 1)
+        bi = jnp.where(more, bi + 1, 0)
+        return (vi, bi, hits), None
 
-    hits, _ = jax.lax.scan(body, init, jnp.arange(max_visits))
+    init_cur = (jnp.zeros((r,), jnp.int32), jnp.zeros((r,), jnp.int32),
+                init)
+    (_, _, hits), _ = jax.lax.scan(body, init_cur, None, length=max_visits)
     hits = _merge_big(hits, geo, grid, packed, rays_o, rays_d,
                       jnp.zeros((r,)), jnp.full((r,), t_max), k=k)
     hits["trunc"] = trunc
