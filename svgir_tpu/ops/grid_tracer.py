@@ -198,18 +198,17 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
 
 def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
                     cell_cap: int = 64, max_cells_per_gauss: int = 64,
-                    sigma: float = 3.0, cap_limit: int = 512,
+                    sigma: float = 3.0, cap_limit: int = 4096,
                     res_limit: int = 128) -> TraceGrid:
     """build_grid with graceful overflow handling, eager-only.
 
-    Per-cell candidate caps double until every cell's list fits.  If a
-    cell still overflows at ``cap_limit`` — hot cells densely packed with
-    tiny surfels — the RESOLUTION escalates (x1.5) instead: thinner cells
-    drain the hot spots, and the larger-surfel tail this creates stays
-    exact through the dense big-surfel pass.  cap_limit is deliberately
-    modest: fat lists cost [R, L, 32] gather traffic on every visit,
-    while higher res only grows the (cheap) table memory and the big
-    list."""
+    Per-cell candidate caps double until every cell's list fits.  Tall
+    caps are cheap since the sub-block march fixes every visit's gather
+    width at _TRACE_BLOCK — hot cells just cost more visits for the rays
+    that actually cross them.  If a cell still overflows at ``cap_limit``
+    the RESOLUTION escalates (x1.5): thinner cells drain the hot spots,
+    and the larger-surfel tail this creates stays exact through the
+    dense big-surfel pass."""
     while True:
         grid = build_grid(geo, res=res, cell_cap=cell_cap,
                           span_cap=max_cells_per_gauss, sigma=sigma)
