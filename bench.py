@@ -44,15 +44,16 @@ def build():
     # exp matrix's best configuration: 18.6 vs 17.1 Mpix/s at the old fixed
     # 458752) unless SVGIR_BENCH_CAP pins it.  The v3 counting binner
     # duplicates unboundedly (exact CUDA semantics) — no per-splat tile cap.
+    # tile/strip/chunk come from the RasterConfig DEFAULTS — the single
+    # configuration bench.py and train.py share (the benched config IS the
+    # trained config; tests/test_config_unification.py pins this).  Env
+    # knobs exist for A/B experiments only.
     import os
     cfg = RasterConfig(
         max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
-        chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)),
-        tile=int(os.environ.get("SVGIR_BENCH_TILE", 32)),
-        # strip=8 (image-layout blend I/O, no assembly transposes) measured
-        # 36.95 ms vs 38.37 ms per-tile on-chip (tools/exp_r2.py step c,
-        # 2026-08-18) — the A/B'd stage-1 default
-        strip=int(os.environ.get("SVGIR_BENCH_STRIP", 8)))
+        chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", RasterConfig.chunk)),
+        tile=int(os.environ.get("SVGIR_BENCH_TILE", RasterConfig.tile)),
+        strip=int(os.environ.get("SVGIR_BENCH_STRIP", RasterConfig.strip)))
     auto_snug = "SVGIR_BENCH_CAP" not in os.environ
     opt = OptimizationConfig()
 

@@ -156,12 +156,17 @@ class RasterConfig:
     rect_cap: int = 16             # DEPRECATED/ignored: the v3 counting
                                    # binner duplicates unboundedly (exact
                                    # CUDA semantics); kept for API compat
-    strip: int = 0                 # >0: blend kernels read/write IMAGE-
+    strip: int = 8                 # >0: blend kernels read/write IMAGE-
                                    # layout blocks, `strip` subtiles per
                                    # grid step (8 -> (co,16,128) aligned
                                    # blocks); 0: per-tile blocks + XLA
                                    # assembly transpose. counting binner
-                                   # only.
+                                   # only.  8 is the measured A/B winner
+                                   # (36.95 vs 38.37 ms, tools/exp_r2.py
+                                   # step c) and since r4 the SINGLE
+                                   # default bench.py and train.py share
+                                   # (VERDICT r3 weakness 3: the benched
+                                   # config must be the trained config).
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,18 @@ def _bilinear_lookup(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     uf = u.reshape(-1)
     vf = v.reshape(-1)
     m = uf.shape[0]
+
+    # On TPU, large query loads go through the Pallas kernel: the one-hot
+    # weight matrices live only in VMEM and the lax.map plumbing (~27 ms of
+    # the r3 stage-2 step: dynamic-update-slices + layout copies around
+    # <1 ms of matmul) disappears.  NOTE the kernel differentiates w.r.t.
+    # the env only — every caller passes constant directions (baked
+    # fibonacci dirs, fixed camera grids), matching the reference's actual
+    # gradient use of grid_sample.
+    if m > 8192 and jax.default_backend() == "tpu":
+        from svgir_tpu.ops.env_lookup_pallas import bilinear_lookup_pallas
+        return bilinear_lookup_pallas(img, uf, vf).reshape(*shape, c)
+
     img2d = img.reshape(h, w * c)
 
     def block(uv):

@@ -57,6 +57,19 @@ NG = 12          # geometry rows in the slab
 
 NEG_INF = -1e30
 
+
+def _compiler_params() -> "pltpu.CompilerParams":
+    """Shared Mosaic params for the blend kernels.  ``vmem_limit_bytes``
+    raises XLA's default 16 MB *scoped*-vmem budget (a compiler default,
+    not the hardware: v5e has 128 MB physical VMEM) so the VS=52 stage-2
+    backward fits at tile=32 — its live [1024, 128] temporaries peak at
+    ~19-22 MB.  64 MB leaves half the physical VMEM for the pipelined
+    DMA buffers.  SVGIR_VMEM_LIMIT_MB overrides for experiments."""
+    import os
+    mb = int(os.environ.get("SVGIR_VMEM_LIMIT_MB", 64))
+    return pltpu.CompilerParams(has_side_effects=True,
+                                vmem_limit_bytes=mb << 20)
+
 # Read ONCE at import: flipping the env var mid-process would silently keep
 # already-jitted variants stale (each A/B configuration must run in a fresh
 # process, as tools/exp_r2.py does).
@@ -403,7 +416,7 @@ def blend_forward(slab: jax.Array, tile_start: jax.Array,
                                  jnp.float32),
         ),
         grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(tile_start, tile_count, slab)
     return out, wsum
@@ -718,7 +731,7 @@ def blend_backward(slab: jax.Array, tile_start: jax.Array,
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, kr), jnp.float32),
         grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(tile_start, tile_count, eff, slab, g_out, logt_final, g_wsum)
     return d_slab

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from svgir_tpu.ops.blend_pallas import (NG, _chunk_math, _dot,
-    _tri_lower_incl, _tri_strict_lower, _tri_strict_upper, _vfuse,
+from svgir_tpu.ops.blend_pallas import (NG, _chunk_math, _compiler_params,
+    _dot, _tri_lower_incl, _tri_strict_lower, _tri_strict_upper, _vfuse,
     wsum_slot)
 from svgir_tpu.ops.common import ALPHA_MAX, LOG_T_EPS
 
@@ -258,7 +258,7 @@ def blend_forward_strip(slab: jax.Array, tile_start: jax.Array,
                                  jnp.float32),
         ),
         grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(tile_start, tile_count, slab)
     return img, eff, wsum
@@ -554,7 +554,7 @@ def blend_backward_strip(slab: jax.Array, tile_start: jax.Array,
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, kr), jnp.float32),
         grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(tile_start, tile_count, eff_i, slab, g_img, logt_img, g_wsum)
     return d_slab

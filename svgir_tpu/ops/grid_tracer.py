@@ -43,6 +43,17 @@ class TraceGrid(NamedTuple):
     ``max_cells_per_gauss`` silently dropped far cells of large surfels —
     and big surfels never inflate per-step cell occupancy, which would
     defeat the visit compaction.
+
+    ``block_geo``/``block_start``: per-(cell, _TRACE_BLOCK-slice)
+    PRE-GATHERED packed geometry rows for every occupied block,
+    contiguous per block.  The march's per-visit candidate fetch becomes
+    ONE gather of [BLK*32]-float rows (16 KB — amplification-free, runs
+    at HBM bandwidth) instead of a [R, BLK]-indexed gather of 128-byte
+    packed rows, which paid (8,128)-tile read amplification and
+    dominated the r3 bake (10.6 of ~14 ms per visit step,
+    docs/measurements/bake_r3_20260819.log).  Geometry is duplicated per
+    covering cell (bounded by ``_BLOCKGEO_LIMIT``; ``block_geo=None``
+    falls back to the per-visit packed gather).
     """
     cell_ids: jax.Array     # [C, L] int32 gaussian ids (-1 padding)
     cell_count: jax.Array   # [C] int32 candidates per cell (uncapped)
@@ -52,6 +63,8 @@ class TraceGrid(NamedTuple):
     res: int
     cell_cap: int
     overflow: jax.Array     # [] bool — some cell exceeded its cap
+    block_geo: Optional[jax.Array] = None    # [Bocc+1, BLK*32] f32
+    block_start: Optional[jax.Array] = None  # [C] i32 first block row
 
 
 def auto_res(geo: tracing.SurfelGeometry, *, sigma: float = 3.0,
@@ -138,7 +151,7 @@ def _bin_level(pts, r_exp, select, lo, inv_cell, res, cell_cap, span_cap):
         src = jnp.clip(src, 0, cell_s.shape[0] - 1)
         blocks.append(jnp.where(ok, gid_s[src], -1))
     ids = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
-    return ids, counts.astype(jnp.int32), overflow
+    return ids, counts.astype(jnp.int32), overflow, starts, gid_s
 
 
 def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
@@ -189,11 +202,60 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
               "big-surfel pass degenerates toward brute force; lower the "
               "grid res", flush=True)
 
-    ids, counts, overflow = _bin_level(
+    ids, counts, overflow, starts, gid_s = _bin_level(
         pts, r_exp, fine_sel, lo, inv_cell, res, cell_cap, span_cap)
+    block_geo, block_start = _build_geo_blocks(geo, starts, counts,
+                                               gid_s, cell_cap)
     return TraceGrid(cell_ids=ids, cell_count=counts, big_ids=big_ids,
                      lo=lo, inv_cell=inv_cell, res=res, cell_cap=cell_cap,
-                     overflow=overflow)
+                     overflow=overflow, block_geo=block_geo,
+                     block_start=block_start)
+
+
+# block_geo memory ceiling; above it the march falls back to the per-visit
+# packed-row gather (correct, ~25x slower on the candidate fetch)
+_BLOCKGEO_LIMIT = int(__import__("os").environ.get(
+    "SVGIR_BLOCKGEO_LIMIT", 6 << 30))
+
+
+def _build_geo_blocks(geo, starts, counts, gid_s, cell_cap):
+    """Pre-gather packed geometry for every occupied (cell, block) pair:
+    block_geo [Bocc + 1, _TRACE_BLOCK * 32] f32 (last row = zero/padding
+    block) and block_start [C] i32 (first block row per cell; the march
+    addresses visit (cell, bi) as ``block_start[cell] + bi``).  Eager
+    (bake-time) — the occupied-block count is data-dependent."""
+    import numpy as np
+    blk = _TRACE_BLOCK
+    counts_c = np.minimum(np.asarray(jax.device_get(counts)), cell_cap)
+    nbc = -(-counts_c // blk)                       # blocks per cell
+    bocc = int(nbc.sum())
+    est = (bocc + 1) * blk * _PACK_W * 4
+    if est > _BLOCKGEO_LIMIT:
+        print(f"WARNING: geo-block table would take {est/2**30:.1f} GiB "
+              f"(> {_BLOCKGEO_LIMIT/2**30:.1f}); falling back to the "
+              "per-visit packed gather", flush=True)
+        return None, None
+    block_start = np.zeros(len(counts_c), np.int32)
+    np.cumsum(nbc[:-1], out=block_start[1:])
+    # per-block source slices of the sorted (cell, gid) pair array
+    cell_of_b = np.repeat(np.arange(len(counts_c), dtype=np.int64), nbc)
+    k_of_b = np.arange(bocc, dtype=np.int64) - \
+        np.repeat(block_start.astype(np.int64), nbc)
+    starts_np = np.asarray(jax.device_get(starts)).astype(np.int64)
+    src0 = starts_np[cell_of_b] + k_of_b * blk
+    slot = np.arange(blk, dtype=np.int64)
+    src = src0[:, None] + slot[None]                             # [B, BLK]
+    ok = slot[None] < (counts_c[cell_of_b] - k_of_b * blk)[:, None]
+    gid_np = np.asarray(jax.device_get(gid_s))
+    rows = np.where(ok, gid_np[np.clip(src, 0, len(gid_np) - 1)], -1)
+    rows = np.concatenate([rows, np.full((1, blk), -1, rows.dtype)], 0)
+    # one device gather builds the whole table; id == -1 -> zero row N
+    packed = pack_geometry(geo)
+    n = packed.shape[0] - 1
+    rows_j = jnp.asarray(rows.astype(np.int32))
+    block_geo = packed[jnp.where(rows_j >= 0, rows_j, n)].reshape(
+        bocc + 1, blk * _PACK_W)
+    return block_geo, jnp.asarray(block_start)
 
 
 def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
@@ -254,8 +316,10 @@ _PACK_W = 32
 
 
 def pack_geometry(geo: tracing.SurfelGeometry) -> jax.Array:
-    """[N + 1, 32] row table; row N is the all-zero padding row (valid=0)
-    that id == -1 candidates route to."""
+    """[N + 1, 32] row table; row N is the padding row (valid=0, id=-1)
+    that id == -1 candidates route to.  Lane 26 carries the surfel id as
+    f32 (exact for N < 2^24) so pre-gathered geometry blocks need no
+    parallel id table."""
     n = geo.means.shape[0]
     packed = jnp.concatenate([
         geo.means,                                   # 0:3
@@ -265,9 +329,11 @@ def pack_geometry(geo: tracing.SurfelGeometry) -> jax.Array:
         geo.normal,                                  # 21:24
         geo.opacity[:, None],                        # 24
         geo.valid.astype(jnp.float32)[:, None],      # 25
-        jnp.zeros((n, _PACK_W - 26)),
+        jnp.arange(n, dtype=jnp.float32)[:, None],   # 26 (id)
+        jnp.zeros((n, _PACK_W - 27)),
     ], axis=1)
-    return jnp.concatenate([packed, jnp.zeros((1, _PACK_W))], axis=0)
+    pad = jnp.zeros((1, _PACK_W)).at[0, 26].set(-1.0)
+    return jnp.concatenate([packed, pad], axis=0)
 
 
 def _unpack_sub(g: jax.Array) -> tracing.SurfelGeometry:
@@ -278,11 +344,18 @@ def _unpack_sub(g: jax.Array) -> tracing.SurfelGeometry:
         opacity=g[..., 24], valid=g[..., 25] > 0.5)
 
 
-def _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi, *, packed=None):
+def _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi, *, packed=None,
+                     geo_rows=None):
     """Exact surfel tests for candidate ids [R, L] within t-span
     [t_lo, t_hi) (per ray).  Returns per-(ray, cand) dict.  ``packed``:
-    optional precomputed pack_geometry(geo) table (single-gather path)."""
-    if packed is not None:
+    optional precomputed pack_geometry(geo) table (single-gather path).
+    ``geo_rows``: optional PRE-GATHERED packed rows [R, L, 32] (the
+    geo-block path; ``ids`` may be None — taken from lane 26)."""
+    if geo_rows is not None:
+        sub = _unpack_sub(geo_rows)
+        if ids is None:
+            ids = geo_rows[..., 26].astype(jnp.int32)
+    elif packed is not None:
         sub = _unpack_sub(packed[jnp.where(ids >= 0, ids,
                                            packed.shape[0] - 1)])
     else:
@@ -428,12 +501,14 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
     cap = grid.cell_ids.shape[1]
     blk = _TRACE_BLOCK
     nb_cap = -(-cap // blk)
-    # cell lists as [C * nb_cap, blk] rows: (cell, block) pairs become one
-    # row gather
-    ids_blocked = grid.cell_ids.reshape(-1, nb_cap, blk).reshape(-1, blk) \
-        if cap % blk == 0 else jnp.pad(
-            grid.cell_ids, ((0, 0), (0, nb_cap * blk - cap)),
-            constant_values=-1).reshape(-1, blk)
+    use_blocks = grid.block_geo is not None
+    if not use_blocks:
+        # fallback: cell lists as [C * nb_cap, blk] rows — (cell, block)
+        # pairs become one id-row gather + a [R, blk] packed-row gather
+        ids_blocked = grid.cell_ids.reshape(-1, nb_cap, blk).reshape(
+            -1, blk) if cap % blk == 0 else jnp.pad(
+                grid.cell_ids, ((0, 0), (0, nb_cap * blk - cap)),
+                constant_values=-1).reshape(-1, blk)
 
     nblocks = _block_scan(grid, rays_o, rays_d, t_max=t_max,
                           n_steps=n_steps, blk=blk)       # [R, n_steps]
@@ -465,10 +540,20 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
         t_hi = jnp.minimum((jj + 1) * dt, t_max)
         mid = rays_o + (t_lo + 0.5 * dt)[:, None] * rays_d
         cell = _cell_index(grid, mid)
-        row = cell * nb_cap + bi
-        ids = jnp.where(live[:, None], ids_blocked[row], -1)
-        cand = _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi,
-                                packed=packed)
+        if use_blocks:
+            # ONE contiguous [blk*32]-row (16 KB) gather per visit: runs at
+            # HBM bandwidth where the packed per-candidate gather paid
+            # (8,128)-tile amplification (10.6 ms/visit-step at r3 shapes)
+            zrow = grid.block_geo.shape[0] - 1
+            row = jnp.where(live, grid.block_start[cell] + bi, zrow)
+            g = grid.block_geo[row].reshape(r, blk, _PACK_W)
+            cand = _test_candidates(geo, None, rays_o, rays_d, t_lo, t_hi,
+                                    geo_rows=g)
+        else:
+            row = cell * nb_cap + bi
+            ids = jnp.where(live[:, None], ids_blocked[row], -1)
+            cand = _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi,
+                                    packed=packed)
         all_t = jnp.concatenate([hits["t"], cand["t"]], axis=1)
         all_idx = jnp.concatenate([hits["idx"], cand["idx"]], axis=1)
         all_alpha = jnp.concatenate([hits["alpha"], cand["alpha"]], axis=1)

@@ -31,10 +31,14 @@ def main(argv=None):
     parser.add_argument("-c", "--checkpoint", default=None)
     parser.add_argument("--checkpoint_interval", type=int, default=5000)
     parser.add_argument("--test_interval", type=int, default=2500)
-    parser.add_argument("--max_instances", type=int, default=1 << 20)
-    parser.add_argument("--strip", type=int, default=0,
+    # instance cap starts snug and auto-grows on overflow (trainer doubles
+    # + recompiles, the CUDA resizeFunctional analog) — the same policy for
+    # every entry point; bench.py probes its exact scene instead
+    parser.add_argument("--max_instances", type=int, default=1 << 19)
+    parser.add_argument("--strip", type=int, default=RasterConfig.strip,
                         help="blend kernel image-layout strip width "
                              "(subtiles/grid step; 0 = per-tile blocks)")
+    parser.add_argument("--tile", type=int, default=RasterConfig.tile)
     parser.add_argument("--max_cameras", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
     # reference train.py:435: torch.autograd anomaly mode -> jax_debug_nans
@@ -49,7 +53,7 @@ def main(argv=None):
     pipe_cfg = from_args(PipelineConfig, args)
     opt_cfg = from_args(OptimizationConfig, args)
     raster_cfg = RasterConfig(max_instances=args.max_instances,
-                              strip=args.strip)
+                              strip=args.strip, tile=args.tile)
 
     import jax
     import jax.numpy as jnp
