@@ -47,15 +47,15 @@ def build():
     # 345600 instances: the same snug cap applies (every instance-space
     # gather/scatter/kernel pass scales with the static cap, not the count)
     import os
-    # tile=16: the stage-2 render path clamps tile to 16 regardless (VS=52
-    # backward exceeds the 16 MB scoped-VMEM budget at tile 32 — see
-    # render/svgss.py::_clamp_svgss_tile); the probe must bin with the tile
-    # the kernel will actually use or the snug cap comes out 3x too small
+    # shared RasterConfig defaults (tile=32/strip=8): since r4 the VS=52
+    # backward fits the raised 64 MB scoped-VMEM budget at tile=32 and
+    # measured 55.2 vs 63.1 ms (tile=16) on-chip — one config for
+    # stage-1, stage-2, bench and train (tests/test_config_unification.py)
     cfg = RasterConfig(
         max_instances=int(os.environ.get("SVGIR_BENCH_CAP", 7 << 16)),
-        chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", 128)),
-        tile=int(os.environ.get("SVGIR_BENCH_TILE", 16)),
-        strip=int(os.environ.get("SVGIR_BENCH_STRIP", 0)))
+        chunk=int(os.environ.get("SVGIR_BENCH_CHUNK", RasterConfig.chunk)),
+        tile=int(os.environ.get("SVGIR_BENCH_TILE", RasterConfig.tile)),
+        strip=int(os.environ.get("SVGIR_BENCH_STRIP", RasterConfig.strip)))
     auto_snug = "SVGIR_BENCH_CAP" not in os.environ
     opt = OptimizationConfig()
 
@@ -123,8 +123,7 @@ def build():
     opt_state = optim.adam_init(state["params"])
     step_fn = make_svgss_train_step(opt, cfg, jnp.zeros(3), lrs=lrs)
     args = (state, opt_state, env_state, bake, cam, jnp.float32(100.0),
-            jnp.float32(1e-5), jnp.float32(opt.radiance_lr),
-            jnp.float32(opt.lambda_local_lights_smooth))
+            jnp.float32(1e-5), jnp.float32(opt.radiance_lr))
     return step_fn, args
 
 

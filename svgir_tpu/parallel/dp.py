@@ -176,7 +176,7 @@ def make_dp_svgss_train_step(mesh: Mesh, opt: OptimizationConfig,
     axis = mesh.axis_names[0]
 
     def per_device(params, alive, cam_batch, bake, env_params, env_opt,
-                   iteration, xyz_lr, radiance_lr, lls_weight, opt_state):
+                   iteration, xyz_lr, radiance_lr, opt_state):
         cam = index_camera(cam_batch, 0)   # local batch of 1
 
         def loss_fn(p, env_p):
@@ -184,7 +184,6 @@ def make_dp_svgss_train_step(mesh: Mesh, opt: OptimizationConfig,
                                opt=opt, iteration=iteration,
                                is_training=True, alive=alive,
                                sh_degree=sh_degree,
-                               lambda_local_lights_smooth=lls_weight,
                                cfg=raster_cfg)
             return res["loss"], res
 
@@ -203,16 +202,15 @@ def make_dp_svgss_train_step(mesh: Mesh, opt: OptimizationConfig,
 
     @jax.jit
     def step(state, opt_state, env_state, bake, cam_batch, iteration,
-             xyz_lr, radiance_lr, lls_weight):
+             xyz_lr, radiance_lr):
         fn = shard_map(
             per_device, mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(), P(), P(), P(), P(), P(), P(),
-                      P()),
+            in_specs=(P(), P(), P(axis), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(),) * 6, check_vma=False)
         params, new_opt, env_p, env_o, loss, psnr = fn(
             state["params"], state["alive"], cam_batch, bake,
             env_state["params"], env_state["opt"], iteration, xyz_lr,
-            radiance_lr, lls_weight, opt_state)
+            radiance_lr, opt_state)
         new_state = {"params": params, "alive": state["alive"],
                      "stats": state["stats"]}
         return (new_state, new_opt, {"params": env_p, "opt": env_o},

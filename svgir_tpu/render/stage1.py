@@ -130,10 +130,10 @@ def calculate_loss_stage1(camera, params, results, opt: OptimizationConfig,
         loss = loss + opt.lambda_depth_smooth * lds
         tb["loss_depth_smooth"] = lds
 
-    if opt.lambda_normal_smooth > 0:
-        lns = L.second_order_edge_aware_loss(normal * image_mask, gt)
-        loss = loss + opt.lambda_normal_smooth * lns
-        tb["loss_normal_smooth"] = lns
+    # NOTE lambda_normal_smooth is DEAD in stage 1: run_tensoir.sh:12
+    # passes 0.02 but the reference's render.py calculate_loss never reads
+    # the flag (only the stage-2 svgss loss consumes it, svgss.py:394-399).
+    # Verified by tests/test_loss_parity.py::test_dead_flags_are_dead.
 
     if opt.lambda_scaling > 0:
         scaling = G.get_scaling(params)

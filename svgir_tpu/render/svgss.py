@@ -29,19 +29,18 @@ from svgir_tpu.render.stage1 import _maxpool9
 
 
 def _clamp_svgss_tile(cfg: RasterConfig) -> RasterConfig:
-    """Stage-2 renders VS=52 vertex channels; the blend backward at
-    tile=32 needs ~19 MB of scoped VMEM against the ~16 MB/core budget
-    (measured OOM, 2026-08-19: "Scoped allocation with size 19.04M and
-    limit 16.00M exceeded"), so the stage-1 default tile=32 is clamped
-    to 16 here — the single entry point every stage-2 rasterize passes
-    through.  SVGIR_SVGSS_TILE overrides for kernel experiments."""
+    """r3 clamped stage-2 to tile=16 (the VS=52 blend backward needed
+    ~19 MB of scoped VMEM against XLA's default 16 MB budget).  r4 raises
+    the Mosaic scoped-vmem limit to 64 MB (blend_pallas._compiler_params;
+    v5e has 128 MB physical VMEM), and tile=32 measured FASTER on-chip
+    (55.2 vs 63.1 ms/step, 2026-08-20) — so stage-2 now runs the shared
+    tile default unclamped.  SVGIR_SVGSS_TILE still overrides for kernel
+    experiments."""
     import dataclasses
     import os
     forced = os.environ.get("SVGIR_SVGSS_TILE")
     if forced:
         return dataclasses.replace(cfg, tile=int(forced))
-    if cfg.tile > 16:
-        return dataclasses.replace(cfg, tile=16)
     return cfg
 
 
@@ -183,9 +182,7 @@ def render_view_svgss(camera, params, bake: Dict, env_params, bg: jax.Array,
 
 def calculate_loss_svgss(camera, params, bake, results,
                          opt: OptimizationConfig, env_params, iteration, *,
-                         alive=None,
-                         lambda_local_lights_smooth: Optional[float] = None
-                         ) -> tuple[jax.Array, Dict]:
+                         alive=None) -> tuple[jax.Array, Dict]:
     """svgss.py:265-403 with identical weights/gating."""
     rendered = results["render"]
     depth = results["depth"]
@@ -242,16 +239,12 @@ def calculate_loss_svgss(camera, params, bake, results,
         loss = loss + opt.lambda_roughness_smooth * lr
         tb["loss_roughness_smooth"] = lr
 
-    # statically gated by the config weight; the *traced* weight (zeroed at
-    # the first %1000 iteration, train.py:211-214) scales the term
-    if opt.lambda_local_lights_smooth > 0:
-        lls = (opt.lambda_local_lights_smooth
-               if lambda_local_lights_smooth is None
-               else lambda_local_lights_smooth)
-        ll = L.first_order_edge_aware_loss(
-            results["local_lights"] * image_mask, gt * image_mask)
-        loss = loss + lls * ll
-        tb["loss_local_lights_smooth"] = ll
+    # NOTE lambda_local_lights_smooth is DEAD in the reference: defined
+    # (arguments/__init__.py:140) and zeroed at the first %1000 iteration
+    # (train.py:211-214) but consumed by NO loss body — so no term here
+    # either (tests/test_loss_parity.py::test_dead_flags_are_dead).  The
+    # r1-r3 repo applied it at weight 1, a divergence the exec-oracle
+    # parity test caught.
 
     if opt.lambda_light_smooth > 0:
         lsm = L.first_order_edge_aware_loss(
@@ -263,6 +256,11 @@ def calculate_loss_svgss(camera, params, bake, results,
         le = L.tv_loss(jnp.moveaxis(results["env"], -1, 0))
         loss = loss + opt.lambda_env_smooth * le
         tb["loss_env_smooth"] = le
+
+    if opt.lambda_normal_smooth > 0:    # svgss.py:394-399 (stage-2 only)
+        lns = L.second_order_edge_aware_loss(normal * image_mask, gt)
+        loss = loss + opt.lambda_normal_smooth * lns
+        tb["loss_normal_smooth"] = lns
 
     if opt.lambda_light > 0:
         dl = results["diffuse_light"]
@@ -279,7 +277,6 @@ def render_svgss(camera, params, bg, *, bake=None, env_params=None,
                  opt: OptimizationConfig = None, iteration=0,
                  is_training=False, alive=None, mean2d_offset=None,
                  sh_degree=3, base_color_scale=None, env_fn=None,
-                 lambda_local_lights_smooth=None,
                  cfg: RasterConfig = RasterConfig(), **_) -> Dict[str, Any]:
     """svgss.py:406-424: render, loss, then rotate normals to world space
     *after* the loss (losses see view space)."""
@@ -290,8 +287,7 @@ def render_svgss(camera, params, bg, *, bake=None, env_params=None,
     if is_training:
         loss, tb = calculate_loss_svgss(
             camera, params, bake, results, opt, env_params, iteration,
-            alive=alive,
-            lambda_local_lights_smooth=lambda_local_lights_smooth)
+            alive=alive)
         results["loss"] = loss
         results["tb_dict"] = tb
 

@@ -334,12 +334,13 @@ def make_svgss_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
     """Jitted stage-2 (render_relight) train step.
 
     step(state, opt_state, env_state, bake, camera, iteration, xyz_lr,
-         radiance_lr, lls_weight) -> (state, opt_state, env_state, tb)
+         radiance_lr) -> (state, opt_state, env_state, tb)
 
     Covers train.py's stage-2 loop mechanics: joint gaussian + env-map Adam
-    steps; the radiance-group LR and the local-lights smoothness weight are
-    per-step scalars so the %1000 zeroing (train.py:211-214) needs no
-    recompile.
+    steps; the radiance-group LR is a per-step scalar so the %1000 zeroing
+    (train.py:211-214) needs no recompile.  (The reference also zeroes
+    lambda_local_lights_smooth there, but no loss consumes that flag —
+    see render/svgss.py and tests/test_loss_parity.py.)
     """
     from svgir_tpu.render.svgss import render_svgss
 
@@ -348,7 +349,7 @@ def make_svgss_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
     # bake/camera are NOT donated: callers reuse them across steps
     @partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def step(state, opt_state, env_state, bake, camera, iteration, xyz_lr,
-             radiance_lr, lls_weight):
+             radiance_lr):
         params, alive, stats = state["params"], state["alive"], state["stats"]
         cap = alive.shape[0]
         off0 = jnp.zeros((cap, 2))
@@ -358,7 +359,6 @@ def make_svgss_train_step(opt: OptimizationConfig, raster_cfg: RasterConfig,
                                opt=opt, iteration=iteration,
                                is_training=True, alive=alive,
                                mean2d_offset=off, sh_degree=sh_degree,
-                               lambda_local_lights_smooth=lls_weight,
                                cfg=raster_cfg)
             return res["loss"], res
 
@@ -461,11 +461,9 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
         vis_interval=vis_interval)
 
     radiance_lr = opt.radiance_lr
-    lls_weight = opt.lambda_local_lights_smooth
-    # resuming past the first %1000 boundary keeps them zeroed
+    # resuming past the first %1000 boundary keeps it zeroed
     if first_iter >= 1000 and (first_iter // 1000) * 1000 > 30_000:
         radiance_lr = 0.0
-        lls_weight = 0.0
     history = []
     t0 = time.time()
     for it in range(first_iter + 1, iterations + 1):
@@ -475,13 +473,12 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
         state, opt_state, env_state, tb = step_fn(
             state, opt_state, env_state, bake_static, cam,
             jnp.float32(it - first_iter), jnp.float32(xyz_lr),
-            jnp.float32(radiance_lr), jnp.float32(lls_weight))
+            jnp.float32(radiance_lr))
 
-        # train.py:211-214: zero the radiance lr + local-lights smoothness
-        # at the first %1000 boundary
+        # train.py:211-214: zero the radiance lr at the first %1000
+        # boundary (the lls zeroing there is a no-op — dead flag)
         if it % 1000 == 0:
             radiance_lr = 0.0
-            lls_weight = 0.0
 
         extras = periodic.run(
             it,

@@ -25,9 +25,13 @@ def mse_loss(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def psnr(img1: jax.Array, img2: jax.Array) -> jax.Array:
-    """utils/image_utils.py:36-37 (peak 1.0)."""
-    mse = jnp.square(img1 - img2).mean()
-    return 20 * jnp.log10(1.0 / jnp.sqrt(mse))
+    """utils/image_utils.py:32-37 (peak 1.0): per-CHANNEL mse -> psnr,
+    averaged (``mse.view(C, -1).mean(1)`` then ``psnr(...).mean()``) —
+    log-of-mean differs from mean-of-logs by ~1e-3 dB, which the
+    exec-oracle parity test resolves."""
+    c = img1.shape[0]
+    mse = jnp.square(img1 - img2).reshape(c, -1).mean(axis=1)
+    return (20 * jnp.log10(1.0 / jnp.sqrt(mse))).mean()
 
 
 # ---------------------------------------------------------------------------

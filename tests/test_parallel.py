@@ -292,8 +292,7 @@ def test_dp_svgss_train_step_and_sharded_bake():
     env0 = env_state["params"]["env"]
     new_state, opt_state, env_state, metrics = step(
         state, opt_state, env_state, bake_static, batch,
-        jnp.float32(1), jnp.float32(1e-4), jnp.float32(opt.radiance_lr),
-        jnp.float32(opt.lambda_local_lights_smooth))
+        jnp.float32(1), jnp.float32(1e-4), jnp.float32(opt.radiance_lr))
     assert np.isfinite(float(metrics["loss"]))
     # env map trained through the psum'd gradient path
     assert float(jnp.abs(env_state["params"]["env"] - env0).max()) > 0
