@@ -463,3 +463,91 @@ def knn_regularization_loss(params, alive=None, k: int = 8):
     knn_albedo = albedo[idx]                    # [N, k, 12]
     knn_rough = rough[idx]
     return knn_albedo.var(axis=1).mean(), knn_rough.var(axis=1).mean()
+
+
+def finetune_visibility(state, *, iterations: int = 1000, lr: float = 1e-2,
+                        key: Optional[jax.Array] = None,
+                        use_grid: Optional[bool] = None,
+                        log_every: int = 0):
+    """Fit the per-gaussian visibility SH (deg 3, 16 coeffs, 1 channel) to
+    ray-traced visibility — ``GaussianModel.finetune_visibility``
+    (gaussian_model.py:397-432).
+
+    Per iteration: one random direction per gaussian flipped into the
+    geometric normal's hemisphere, ``clamp(eval_sh + 0.5, 0, 1)`` as the
+    prediction, traced transmittance (``trace_visibility`` semantics:
+    product of (1-alpha), hard 0 below 0.9, origins offset 0.05*d —
+    bvh/__init__.py:59) as the target, L1 loss, Adam lr 1e-2 on
+    visibility_dc/rest only.  The trace is not differentiated (the CUDA
+    tracer has no backward).  Returns the updated ``state``.
+    """
+    from svgir_tpu.ops import tracing
+    from svgir_tpu.train import optim
+    from svgir_tpu.utils.sh import eval_sh
+
+    params = state["params"]
+    alive = state["alive"]
+    n = params["xyz"].shape[0]
+    key = jax.random.PRNGKey(0) if key is None else key
+
+    opacity = jnp.where(alive, get_opacity(params)[:, 0], 0.0)
+    geo = tracing.build_surfel_geometry(
+        params["xyz"], get_scaling(params), get_rotation(params), opacity,
+        valid=alive)
+    normal = get_geo_normal(params)
+
+    if use_grid is None:
+        use_grid = int(alive.sum()) >= 4096
+    grid = None
+    if use_grid:
+        from svgir_tpu.ops import grid_tracer
+        grid = grid_tracer.build_grid_auto(
+            geo, res=grid_tracer.auto_res(geo))
+        import numpy as np
+        m_np = np.asarray(jax.device_get(params["xyz"]))
+        diag = float(np.linalg.norm(m_np.max(0) - m_np.min(0))) + 1e-3
+        n_steps = grid_tracer._concrete_n_steps(grid, diag)
+
+    vis = {"visibility_dc": params["visibility_dc"],
+           "visibility_rest": params["visibility_rest"]}
+    opt_state = optim.adam_init(vis)
+    lrs = {"visibility_dc": lr, "visibility_rest": lr}
+    denom = jnp.maximum(alive.sum(), 1)
+
+    @jax.jit
+    def step(vis, opt_state, k):
+        d = normalize(jax.random.normal(k, (n, 3)))
+        flip = jnp.sum(d * normal, -1, keepdims=True) < 0
+        d = jnp.where(flip, -d, d)
+        o = params["xyz"] + 0.05 * d
+        if use_grid:
+            from svgir_tpu.ops import grid_tracer
+            tr = grid_tracer.trace_visibility_grid(geo, grid, o, d,
+                                                   t_max=float(diag),
+                                                   n_steps=n_steps)
+        else:
+            tr = tracing.trace_visibility(geo, o, d)
+        target = jax.lax.stop_gradient(tr["visibility"])        # [N, 1]
+
+        def loss_fn(vp):
+            sh = jnp.concatenate([vp["visibility_dc"],
+                                  vp["visibility_rest"]], axis=1)  # [N,16,1]
+            pred = eval_sh(3, jnp.swapaxes(sh, 1, 2), d)           # [N, 1]
+            pred = jnp.clip(pred + 0.5, 0.0, 1.0)
+            err = jnp.abs(target - pred)
+            return jnp.where(alive[:, None], err, 0.0).sum() / denom
+
+        loss, grads = jax.value_and_grad(loss_fn)(vis)
+        vis, opt_state = optim.adam_step(vis, grads, opt_state, lrs)
+        return vis, opt_state, loss
+
+    for it in range(iterations):
+        key, k = jax.random.split(key)
+        vis, opt_state, loss = step(vis, opt_state, k)
+        if log_every and (it + 1) % log_every == 0:
+            print(f"finetune_visibility {it + 1}/{iterations}: "
+                  f"L1 {float(loss):.4f}", flush=True)
+
+    new_params = dict(params)
+    new_params.update(vis)
+    return {**state, "params": new_params}

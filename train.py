@@ -144,6 +144,13 @@ def main(argv=None):
         CK.save_model_ply(os.path.join(out_dir, "point_cloud.ply"),
                           state["params"], state["alive"], use_pbr=False)
     else:
+        if opt_cfg.finetune_visibility:
+            # gaussian_model.py:397-432, gated by the same ModelParams flag
+            # (arguments/__init__.py:76; defaults False — not part of the
+            # shipped recipes, but a reference capability)
+            print("Finetuning visibility SH...", flush=True)
+            state = G.finetune_visibility(
+                state, key=jax.random.PRNGKey(args.seed + 7), log_every=100)
         state, opt_state, env_state, bake, hist = train_stage2(
             state, scene.train_cameras, opt_cfg, bg=bg,
             raster_cfg=raster_cfg, spatial_lr_scale=scene.cameras_extent,
