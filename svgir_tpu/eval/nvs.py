@@ -67,10 +67,12 @@ def render_set(out_dir: str, name: str, cameras: List, render_one,
                 buf = buf * 0.5 + 0.5      # train.py:403 save convention
             save_image(os.path.join(img_dir, f"{idx:05d}_{key}.png"), buf)
 
+    available, note = M.lpips_status(lpips_weights)
     out = {
         "psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
         "ssim": float(np.mean(ssims)) if ssims else float("nan"),
-        "lpips": float(np.mean(lpipss)) if lpipss else None,
+        # loud absence: never a silently-missing column (VERDICT r3 item 3)
+        "lpips": float(np.mean(lpipss)) if lpipss else note,
         "n_views": len(cameras),
     }
     with open(os.path.join(out_dir, name, "metrics.json"), "w") as f:

@@ -149,6 +149,11 @@ def eval_relighting(out_dir: str, params, alive, env_state: Dict,
     for key in rows[0] if rows else ():
         vals = [r[key] for r in rows if key in r]
         summary[key] = float(np.mean(vals))
+    available, note = M.lpips_status(lpips_weights)
+    if not available:
+        # loud absence: never a silently-missing column (VERDICT r3 item 3)
+        summary["pbr_lpips"] = note
+        summary["albedo_lpips"] = note
     summary["n_views"] = len(rows)
     with open(os.path.join(out_dir, light_name, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -26,9 +26,13 @@ import jax.numpy as jnp
 from svgir_tpu.ops import tracing
 
 # per-visit candidate width of the compacted march: each visit tests one
-# 128-wide slice of one cell's list, so per-cell caps can grow tall for
-# hot cells without inflating every visit's [R, L, 32] gather
-_TRACE_BLOCK = 128
+# block-wide slice of one cell's list, so per-cell caps can grow tall for
+# hot cells without inflating every visit's gather.  32 (r4, was 128):
+# typical visited cells hold well under 32 candidates, so most visits were
+# 70-90% padding — the dominant per-visit costs (geo-row gather + top-k
+# merge) scale with the block width while the visit count only grows for
+# genuinely hot cells.
+_TRACE_BLOCK = 32
 
 
 class TraceGrid(NamedTuple):
@@ -104,11 +108,14 @@ def auto_res(geo: tracing.SurfelGeometry, *, sigma: float = 3.0,
     return res
 
 
-def _bin_level(pts, r_exp, select, lo, inv_cell, res, cell_cap, span_cap):
-    """Bin the SELECTED surfels into one grid level.  ``select`` guarantees
-    span-product <= span_cap, so the [N, span_cap] cell enumeration never
-    clips a surfel's coverage.  Returns (ids [C, L], counts [C],
-    overflow)."""
+@partial(jax.jit, static_argnames=("res", "span_cap"))
+def _sort_pairs(pts, r_exp, select, lo, inv_cell, *, res, span_cap):
+    """Enumerate + sort the (cell, gaussian) pairs of the SELECTED surfels.
+    ``select`` guarantees span-product <= span_cap, so the [N, span_cap]
+    cell enumeration never clips a surfel's coverage.  Returns
+    (gid_s [N*K], starts [C], counts [C]) — ONE sort serves cap probing,
+    list expansion and geo-block construction (the r3 build re-ran the
+    whole pipeline per cap-doubling step: 104 s at bench shapes)."""
     n = pts.shape[0]
     c0 = jnp.clip(((pts - r_exp - lo) * inv_cell).astype(jnp.int32),
                   0, res - 1)
@@ -128,7 +135,6 @@ def _bin_level(pts, r_exp, select, lo, inv_cell, res, cell_cap, span_cap):
     num_cells = res ** 3
     cell = jnp.where(valid_pair, cell, num_cells)
 
-    # bake-time sort of (cell, gaussian) pairs -> per-cell contiguous lists
     gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
                            cell.shape)
     cell_f, gid_f = cell.reshape(-1), gid.reshape(-1)
@@ -136,11 +142,15 @@ def _bin_level(pts, r_exp, select, lo, inv_cell, res, cell_cap, span_cap):
                                  num_keys=1, is_stable=True)
     grid_ids = jnp.arange(num_cells, dtype=jnp.int32)
     starts = jnp.searchsorted(cell_s, grid_ids, side="left")
-    counts = jnp.searchsorted(cell_s, grid_ids, side="right") - starts
-    overflow = (counts > cell_cap).any()
+    counts = (jnp.searchsorted(cell_s, grid_ids, side="right")
+              - starts).astype(jnp.int32)
+    return gid_s, starts, counts
 
-    # chunk the [C, L] slot expansion: at high res (2M cells) the src/ok/
-    # ids temporaries would otherwise take several GB each on device
+
+def _expand_lists(gid_s, starts, counts, num_cells, cell_cap):
+    """[C, L] per-cell candidate lists from the sorted pairs.  Chunked: at
+    high res (2M cells) the src/ok temporaries would otherwise take
+    several GB each on device."""
     slot = jnp.arange(cell_cap)
     blocks = []
     step = max((1 << 22) // max(cell_cap, 1), 1)
@@ -148,19 +158,23 @@ def _bin_level(pts, r_exp, select, lo, inv_cell, res, cell_cap, span_cap):
         b1 = min(b0 + step, num_cells)
         src = starts[b0:b1, None] + slot[None]                # [c, L]
         ok = slot[None] < jnp.minimum(counts[b0:b1], cell_cap)[:, None]
-        src = jnp.clip(src, 0, cell_s.shape[0] - 1)
+        src = jnp.clip(src, 0, gid_s.shape[0] - 1)
         blocks.append(jnp.where(ok, gid_s[src], -1))
-    ids = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
-    return ids, counts.astype(jnp.int32), overflow, starts, gid_s
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
 
 
 def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
-               cell_cap: int = 64, span_cap: int = 64,
+               cell_cap: Optional[int] = 64, span_cap: int = 64,
                sigma: float = 3.0,
                max_cells_per_gauss: Optional[int] = None,
                big_warn_frac: float = 0.05) -> TraceGrid:
     """Bin gaussians into the grid by ±sigma·scale AABBs (bake-time,
     eager-only: the big-list size is data-dependent).
+
+    ``cell_cap=None`` sizes the cap EXACTLY (max per-cell count rounded up
+    to a _TRACE_BLOCK multiple) from the single pair sort — no overflow
+    possible; an explicit cap clips the lists and sets ``overflow`` when
+    exceeded.
 
     AABBs are expanded by half a march step (dt/2) so a hit point within
     dt/2 of the step midpoint always finds its surfel listed in the
@@ -202,8 +216,16 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
               "big-surfel pass degenerates toward brute force; lower the "
               "grid res", flush=True)
 
-    ids, counts, overflow, starts, gid_s = _bin_level(
-        pts, r_exp, fine_sel, lo, inv_cell, res, cell_cap, span_cap)
+    gid_s, starts, counts = _sort_pairs(pts, r_exp, fine_sel, lo, inv_cell,
+                                        res=res, span_cap=span_cap)
+    max_count = int(jax.device_get(counts.max()))
+    if cell_cap is None:
+        cell_cap = max(-(-max_count // _TRACE_BLOCK) * _TRACE_BLOCK,
+                       _TRACE_BLOCK)
+        overflow = jnp.asarray(False)
+    else:
+        overflow = jnp.asarray(max_count > cell_cap)
+    ids = _expand_lists(gid_s, starts, counts, res ** 3, cell_cap)
     block_geo, block_start = _build_geo_blocks(geo, starts, counts,
                                                gid_s, cell_cap)
     return TraceGrid(cell_ids=ids, cell_count=counts, big_ids=big_ids,
@@ -262,33 +284,31 @@ def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
                     cell_cap: int = 64, max_cells_per_gauss: int = 64,
                     sigma: float = 3.0, cap_limit: int = 4096,
                     res_limit: int = 128) -> TraceGrid:
-    """build_grid with graceful overflow handling, eager-only.
-
-    Per-cell candidate caps double until every cell's list fits.  Tall
-    caps are cheap since the sub-block march fixes every visit's gather
-    width at _TRACE_BLOCK — hot cells just cost more visits for the rays
-    that actually cross them.  If a cell still overflows at ``cap_limit``
-    the RESOLUTION escalates (x1.5): thinner cells drain the hot spots,
-    and the larger-surfel tail this creates stays exact through the
-    dense big-surfel pass."""
+    """build_grid with the cap sized EXACTLY in one pass (``cell_cap``
+    only sets the floor).  Tall caps are cheap since the sub-block march
+    fixes every visit's gather width at _TRACE_BLOCK — hot cells just
+    cost more visits for the rays that actually cross them.  If the exact
+    cap exceeds ``cap_limit`` the RESOLUTION escalates (x1.5): thinner
+    cells drain the hot spots, and the larger-surfel tail this creates
+    stays exact through the dense big-surfel pass."""
     while True:
-        grid = build_grid(geo, res=res, cell_cap=cell_cap,
+        grid = build_grid(geo, res=res, cell_cap=None,
                           span_cap=max_cells_per_gauss, sigma=sigma)
-        if not bool(grid.overflow):
+        if grid.cell_cap >= cell_cap:
+            cell_cap = grid.cell_cap        # exact >= requested floor
+        if grid.cell_cap <= cap_limit:
             return grid
-        if cell_cap >= cap_limit:
-            if res < res_limit:
-                res = min(int(res * 1.5), res_limit)
-                cell_cap = 64
-                continue
-            # no silent caps (docs/PERF.md): candidates beyond the cap are
-            # dropped and rays through hot cells will miss hits
-            print(f"WARNING: grid cell_cap limit reached ({cell_cap}) with "
-                  f"overflowing cells at res={res} (res_limit "
-                  f"{res_limit}) — some candidates are dropped; raise "
-                  "cap_limit or res_limit", flush=True)
-            return grid
-        cell_cap = min(cell_cap * 2, cap_limit)
+        if res < res_limit:
+            res = min(int(res * 1.5), res_limit)
+            continue
+        # no silent caps (docs/PERF.md): rebuild clipped at the limit —
+        # candidates beyond it are dropped and rays through hot cells
+        # will miss hits
+        print(f"WARNING: exact grid cap {grid.cell_cap} exceeds cap_limit "
+              f"{cap_limit} at res={res} (res_limit {res_limit}) — "
+              "clipping; some candidates are dropped", flush=True)
+        return build_grid(geo, res=res, cell_cap=cap_limit,
+                          span_cap=max_cells_per_gauss, sigma=sigma)
 
 
 def _cell_index(grid: TraceGrid, pos: jax.Array) -> jax.Array:
@@ -521,15 +541,25 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
     visit_step = -neg                                      # [R, Vs]
     trunc = nblocks.sum(1) > max_visits
 
+    # idx-only merge carry: t (the sort key) + candidate id.  alpha/uv are
+    # pure functions of (ray, surfel) and are recomputed ONCE post-march
+    # for the k winners — carrying them through every merge cost two extra
+    # take_along_axis passes per visit (the [R, k+blk, 2] uv one widest),
+    # the bulk of the r4-attributed 9.5 ms/visit merge.
     init = {
         "t": jnp.full((r, k), jnp.inf),
         "idx": jnp.full((r, k), -1, jnp.int32),
-        "alpha": jnp.zeros((r, k)),
-        "uv": jnp.zeros((r, k, 2)),
     }
 
     packed = pack_geometry(geo)
     rows = jnp.arange(r)
+
+    def merge(hits, cand_t, cand_idx):
+        all_t = jnp.concatenate([hits["t"], cand_t], axis=1)
+        all_idx = jnp.concatenate([hits["idx"], cand_idx], axis=1)
+        neg_top, sel = jax.lax.top_k(-all_t, k)
+        return {"t": -neg_top,
+                "idx": jnp.take_along_axis(all_idx, sel, axis=1)}
 
     def body(carry, _):
         vi, bi, hits = carry
@@ -541,9 +571,9 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
         mid = rays_o + (t_lo + 0.5 * dt)[:, None] * rays_d
         cell = _cell_index(grid, mid)
         if use_blocks:
-            # ONE contiguous [blk*32]-row (16 KB) gather per visit: runs at
-            # HBM bandwidth where the packed per-candidate gather paid
-            # (8,128)-tile amplification (10.6 ms/visit-step at r3 shapes)
+            # ONE contiguous block-row gather per visit instead of a
+            # [R, blk] packed per-candidate gather ((8,128)-tile
+            # amplification, 10.6 ms/visit-step at r3 shapes)
             zrow = grid.block_geo.shape[0] - 1
             row = jnp.where(live, grid.block_start[cell] + bi, zrow)
             g = grid.block_geo[row].reshape(r, blk, _PACK_W)
@@ -554,18 +584,7 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
             ids = jnp.where(live[:, None], ids_blocked[row], -1)
             cand = _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi,
                                     packed=packed)
-        all_t = jnp.concatenate([hits["t"], cand["t"]], axis=1)
-        all_idx = jnp.concatenate([hits["idx"], cand["idx"]], axis=1)
-        all_alpha = jnp.concatenate([hits["alpha"], cand["alpha"]], axis=1)
-        all_uv = jnp.concatenate([hits["uv"], cand["uv"]], axis=1)
-        neg_top, sel = jax.lax.top_k(-all_t, k)
-        take = jnp.take_along_axis
-        hits = {
-            "t": -neg_top,
-            "idx": take(all_idx, sel, axis=1),
-            "alpha": take(all_alpha, sel, axis=1),
-            "uv": take(all_uv, sel[..., None], axis=1),
-        }
+        hits = merge(hits, cand["t"], cand["idx"])
         # cursor advance: next block of this cell, else next occupied step
         nb_here = jnp.minimum(_occupancy_at(grid, mid), cap)
         nb_here = -(-nb_here // blk)
@@ -579,7 +598,16 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
     (_, _, hits), _ = jax.lax.scan(body, init_cur, None, length=max_visits)
     hits = _merge_big(hits, geo, grid, packed, rays_o, rays_d,
                       jnp.zeros((r,)), jnp.full((r,), t_max), k=k)
-    hits["trunc"] = trunc
+
+    # post-march recomputation of the winners' full records: [R, k] rows
+    # through the same exact tests over the march's whole [0, t_max) span
+    # (t/alpha/uv are span-independent; the spans only enforced ordering)
+    full = _test_candidates(geo, hits["idx"], rays_o, rays_d,
+                            jnp.zeros((r,)), jnp.full((r,), t_max),
+                            packed=packed)
+    hits = {"t": jnp.where(jnp.isfinite(hits["t"]), full["t"], jnp.inf),
+            "idx": hits["idx"], "alpha": full["alpha"], "uv": full["uv"],
+            "trunc": trunc}
     return hits
 
 
@@ -598,9 +626,10 @@ def _big_blocks(grid: TraceGrid):
 
 def _merge_big(hits, geo, grid, packed, rays_o, rays_d, t_lo, t_hi, *, k):
     """Dense once-per-ray pass over the big-surfel partition, merged into
-    the march's top-k.  Exact: big surfels are absent from all cell lists,
-    each is tested exactly once per ray with the same acceptance rules and
-    the same overall [t_lo, t_hi) window the march covers."""
+    the march's top-k (idx-only carry, like the march).  Exact: big
+    surfels are absent from all cell lists, each is tested exactly once
+    per ray with the same acceptance rules and the same overall
+    [t_lo, t_hi) window the march covers."""
     if grid.big_ids.shape[0] == 0:
         return hits
     r = rays_o.shape[0]
@@ -611,16 +640,9 @@ def _merge_big(hits, geo, grid, packed, rays_o, rays_d, t_lo, t_hi, *, k):
                                 packed=packed)
         all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
         all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
-        all_alpha = jnp.concatenate([carry["alpha"], cand["alpha"]], axis=1)
-        all_uv = jnp.concatenate([carry["uv"], cand["uv"]], axis=1)
         neg_top, sel = jax.lax.top_k(-all_t, k)
-        take = jnp.take_along_axis
-        return {
-            "t": -neg_top,
-            "idx": take(all_idx, sel, axis=1),
-            "alpha": take(all_alpha, sel, axis=1),
-            "uv": take(all_uv, sel[..., None], axis=1),
-        }, None
+        return {"t": -neg_top,
+                "idx": jnp.take_along_axis(all_idx, sel, axis=1)}, None
 
     hits, _ = jax.lax.scan(body, hits, _big_blocks(grid))
     return hits
