@@ -17,9 +17,13 @@ blending ("spatial parallel").  Realized TPU-natively as one ``shard_map``:
      jitted value_and_grad covers multi-chip training with parameter
      gradients reduced over ICI.
 
-Load balance note: tile rows are equal-area, not equal-instance; the
-instance-count-balanced partition (SURVEY §7 hard part 5) can reuse this
-structure with an uneven row split.
+Load balance (SURVEY §7 hard part 5): tile rows can be split equal-area
+(default) or instance-count-balanced — ``balanced_row_starts`` probes the
+per-tile-row instance histogram (a difference-array over the projected
+rects, no binning) and chooses contiguous uneven row bands with ~equal
+instance counts; ``rasterize_sharded(row_starts=...)`` consumes them (the
+per-device tile grid is padded to the widest band — SPMD needs one static
+shape — and ``instance_stats`` reports the realized per-device counts).
 """
 
 from __future__ import annotations
@@ -40,11 +44,71 @@ from svgir_tpu.ops.preprocess import Preprocessed, preprocess
 from svgir_tpu.ops.rasterizer import _make_blend_gather, _pack_slab
 
 
+def row_instance_histogram(means3d, scales, quats, opacity, camera, *,
+                           mask=None, cfg: RasterConfig = RasterConfig()):
+    """[grid_y] instances per tile row (each projected rect contributes its
+    x-width to every row it spans) via a difference array — no binning.
+    Host-side probe for ``balanced_row_starts``."""
+    width, height = camera.width, camera.height
+    tile = cfg.tile
+    grid_y = -(-height // tile)
+    prep = preprocess(means3d, scales, quats, camera.world_view,
+                      camera.full_proj, camera.camera_center,
+                      width=width, height=height, tanfovx=camera.tanfovx,
+                      tanfovy=camera.tanfovy, focal_x=camera.focal_x,
+                      focal_y=camera.focal_y, cfg=cfg)
+    valid = prep.valid if mask is None else (prep.valid & mask)
+    w = jnp.where(valid, (prep.rect_max[:, 0] - prep.rect_min[:, 0])
+                  .astype(jnp.int32), 0)
+    lo = jnp.clip(prep.rect_min[:, 1], 0, grid_y)
+    hi = jnp.clip(prep.rect_max[:, 1], 0, grid_y)
+    diff = (jnp.zeros((grid_y + 1,), jnp.int32).at[lo].add(w)
+            .at[hi].add(-w))
+    return jnp.cumsum(diff)[:grid_y]
+
+
+def balanced_row_starts(hist, ndev: int) -> tuple:
+    """Contiguous instance-balanced row partition: D+1 CONCRETE boundaries
+    (a static tuple — the partition is a setup-time decision; re-deriving
+    it recompiles, which callers do at densify cadence, not per step)."""
+    import numpy as np
+    h = np.asarray(jax.device_get(hist)).astype(np.int64)
+    if len(h) < ndev:        # fewer rows than devices: pad with empty rows
+        h = np.pad(h, (0, ndev - len(h)))
+    grid_y = len(h)
+    c = np.concatenate([[0], np.cumsum(h)])
+    total = max(int(c[-1]), 1)
+    targets = total * np.arange(1, ndev) / ndev
+    cuts = np.searchsorted(c, targets, side="left")
+    starts = [0]
+    for i, b in enumerate(cuts):
+        # each band needs >= 1 row; leave enough rows for the remainder
+        b = int(np.clip(b, starts[-1] + 1, grid_y - (ndev - 1 - i)))
+        starts.append(b)
+    starts.append(grid_y)
+    return tuple(starts)
+
+
+def instance_stats(means3d, scales, quats, opacity, camera, row_starts, *,
+                   mask=None, cfg: RasterConfig = RasterConfig()) -> dict:
+    """Per-device instance counts for a row partition: the load-balance
+    report SURVEY §7 hard part 5 calls for (max/mean imbalance)."""
+    import numpy as np
+    hist = np.asarray(jax.device_get(row_instance_histogram(
+        means3d, scales, quats, opacity, camera, mask=mask, cfg=cfg)))
+    counts = [int(hist[row_starts[d]:row_starts[d + 1]].sum())
+              for d in range(len(row_starts) - 1)]
+    mean = max(float(np.mean(counts)), 1e-9)
+    return {"per_device": counts, "max": int(np.max(counts)),
+            "mean": mean, "imbalance": float(np.max(counts) / mean)}
+
+
 def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
                       camera, bg, *, shs=None, sh_degree=3, colors=None,
                       features=None, vfeatures=None, mask=None,
                       cfg: RasterConfig = RasterConfig(),
                       exchange_cap: Optional[int] = None,
+                      row_starts: Optional[tuple] = None,
                       interpret: Optional[bool] = None):
     """Multi-device rasterization: gaussian-sharded preprocess, tile-row-
     sharded blend.  Returns the same buffer dict as ``rasterize`` with
@@ -66,11 +130,31 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
     width, height = camera.width, camera.height
     tile = cfg.tile
     grid_x = -(-width // tile)
-    grid_y_total = -(-height // tile)
-    grid_y_total = -(-grid_y_total // ndev) * ndev     # rows divide devices
-    rows_per_dev = grid_y_total // ndev
+    if row_starts is None:
+        grid_y_total = -(-height // tile)
+        grid_y_total = -(-grid_y_total // ndev) * ndev  # rows divide devices
+        rows_per_dev = grid_y_total // ndev
+        row_starts = tuple(d * rows_per_dev for d in range(ndev + 1))
+    else:
+        # balanced_row_starts pads the grid to >= 1 row per device
+        grid_y_total = max(-(-height // tile), ndev)
+        if (len(row_starts) != ndev + 1 or row_starts[0] != 0
+                or row_starts[-1] != grid_y_total):
+            raise ValueError(
+                f"row_starts must be {ndev + 1} boundaries covering "
+                f"[0, {grid_y_total}]; got {row_starts}")
+    bands = tuple(row_starts[d + 1] - row_starts[d] for d in range(ndev))
+    if min(bands) < 1:
+        raise ValueError(f"empty tile-row band in {row_starts}")
+    # SPMD needs one static per-device grid: pad every band to the widest
+    rows_per_dev = max(bands)
+    y0_tab = jnp.asarray(row_starts[:-1], jnp.int32)       # [D] first row
+    band_tab = jnp.asarray(bands, jnp.int32)               # [D] band height
     num_tiles_local = grid_x * rows_per_dev
-    m_local = cfg.max_instances // ndev
+    # every tile's count is chunk-padded by the binner, so the local slab
+    # must hold at least one chunk per tile (bites when uneven bands pad
+    # the per-device grid wider than grid_y_total/ndev)
+    m_local = max(cfg.max_instances // ndev, num_tiles_local * cfg.chunk)
     cfg_local = dataclasses.replace(cfg, max_instances=m_local)
 
     n = means3d.shape[0]
@@ -97,9 +181,10 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
         """Bin + blend ``n_rows`` candidate splats against this device's
         tile rows (slab already y-translated)."""
         idx = jax.lax.axis_index(axis)
-        y0 = idx * rows_per_dev
-        rmin_y = jnp.clip(rect_min[:, 1] - y0, 0, rows_per_dev)
-        rmax_y = jnp.clip(rect_max[:, 1] - y0, 0, rows_per_dev)
+        y0 = y0_tab[idx]
+        band = band_tab[idx]                 # rows this device actually owns
+        rmin_y = jnp.clip(rect_min[:, 1] - y0, 0, band)
+        rmax_y = jnp.clip(rect_max[:, 1] - y0, 0, band)
         touched = (rect_max[:, 0] - rect_min[:, 0]) * (rmax_y - rmin_y)
         valid_loc = valid & (touched > 0)
 
@@ -146,7 +231,7 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
         rect_max = jax.lax.all_gather(prep.rect_max, axis, tiled=True)
 
         idx = jax.lax.axis_index(axis)
-        slab = _translate(slab, jnp.float32(idx * rows_per_dev * tile))
+        slab = _translate(slab, (y0_tab[idx] * tile).astype(jnp.float32))
         out, weights, overflow = _blend_rows(
             slab, depth, valid, rect_min, rect_max, n, ca, cv, False)
         # per-gaussian weight sums span all devices' tiles
@@ -171,8 +256,8 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
 
         # per-destination overlap of the local shard's rects
         d_iota = jnp.arange(ndev)[:, None]                      # [D, 1]
-        band0 = d_iota * rows_per_dev
-        band1 = band0 + rows_per_dev
+        band0 = y0_tab[:, None]
+        band1 = (y0_tab + band_tab)[:, None]
         ov = (prep.valid[None, :]
               & (prep.rect_min[None, :, 1] < band1)
               & (prep.rect_max[None, :, 1] > band0))            # [D, n_l]
@@ -215,7 +300,7 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
 
         idx = jax.lax.axis_index(axis)
         slab = _translate(recv_slab,
-                          jnp.float32(idx * rows_per_dev * tile))
+                          (y0_tab[idx] * tile).astype(jnp.float32))
         out, weights_r, overflow = _blend_rows(
             slab, depth, valid, rect_min, rect_max, ndev * cap, ca, cv,
             send_overflow)
@@ -260,9 +345,13 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
     ca = 9 + s
     cv = vs // 4
     co = ca + cv + 3
-    img = out.reshape(grid_y_total, grid_x, co, tile, tile)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(co, grid_y_total * tile,
-                                               grid_x * tile)
+    out = out.reshape(ndev, rows_per_dev, grid_x, co, tile, tile)
+    if min(bands) == rows_per_dev:
+        rows = out.reshape(grid_y_total, grid_x, co, tile, tile)
+    else:   # uneven bands: drop each device's pad rows (static slices)
+        rows = jnp.concatenate([out[d, :bands[d]] for d in range(ndev)], 0)
+    img = rows.transpose(2, 0, 3, 1, 4).reshape(co, grid_y_total * tile,
+                                                grid_x * tile)
     img = img[:, :height, :width]
 
     color_raw, normal = img[0:3], img[3:6]
@@ -274,8 +363,14 @@ def rasterize_sharded(mesh: Mesh, axis: str, means3d, scales, quats, opacity,
 
     vv, uu = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
                           jnp.arange(width, dtype=jnp.float32), indexing="ij")
-    # local-row pixel maps: py within each device slice
-    py_local = vv % (rows_per_dev * tile)
+    # local-row pixel maps: py within each device's band (static offsets)
+    import numpy as np
+    off = np.zeros((height,), np.float32)
+    for d in range(ndev):
+        a = min(row_starts[d] * tile, height)
+        b = min(row_starts[d + 1] * tile, height)
+        off[a:b] = row_starts[d] * tile
+    py_local = vv - jnp.asarray(off)[:, None]
     D = adepth + uu * c1img + py_local * c2img
     T = jnp.minimum(1.0 - 1e-6, jnp.exp(logT))
     from svgir_tpu.ops.dense_ref import RenderBuffers

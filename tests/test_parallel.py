@@ -228,6 +228,58 @@ def test_gshard_exchange_bench_shapes():
     assert wdiff.max() < 5e-3
 
 
+@needs_8
+def test_gshard_balanced_rows_matches_single_device():
+    """Instance-balanced uneven tile-row partition (SURVEY §7 hard part 5):
+    same image as single-device, and the realized per-device instance
+    imbalance improves on the equal-area split for a skewed scene."""
+    from svgir_tpu.parallel.gshard import (balanced_row_starts,
+                                           instance_stats,
+                                           row_instance_histogram)
+
+    cfg = dataclasses.replace(CFG, tile=16)   # 256px/16 = 16 rows > 8 dev
+    sc = sphere_scene(jax.random.PRNGKey(0), n=256, s_feat=2, vs_feat=8)
+    # skew the scene downward so the bottom tile rows carry most instances
+    means = sc["means"].at[:, 1].add(-0.45 * jnp.abs(sc["means"][:, 0]) - 0.3)
+    cam = default_camera(128, 256)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    mesh = make_mesh(8, axis="gauss")
+
+    hist = row_instance_histogram(means, sc["scales"], sc["quats"],
+                                  sc["opacity"], cam, cfg=cfg)
+    starts = balanced_row_starts(hist, 8)
+    grid_y = -(-cam.height // cfg.tile)
+    assert starts[0] == 0 and starts[-1] == grid_y and len(starts) == 9
+
+    even = tuple(range(0, grid_y + 1, grid_y // 8)) if grid_y % 8 == 0 \
+        else None
+    bal_stats = instance_stats(means, sc["scales"], sc["quats"],
+                               sc["opacity"], cam, starts, cfg=cfg)
+    if even is not None:
+        even_stats = instance_stats(means, sc["scales"], sc["quats"],
+                                    sc["opacity"], cam, even, cfg=cfg)
+        assert bal_stats["imbalance"] <= even_stats["imbalance"] + 1e-6
+
+    single = rasterize(means, sc["scales"], sc["quats"], sc["opacity"],
+                       cam, bg, colors=sc["colors"], features=sc["features"],
+                       vfeatures=sc["vfeatures"], cfg=cfg, interpret=True)
+    for cap in (None, 64):
+        shard = rasterize_sharded(mesh, "gauss", means, sc["scales"],
+                                  sc["quats"], sc["opacity"], cam, bg,
+                                  colors=sc["colors"],
+                                  features=sc["features"],
+                                  vfeatures=sc["vfeatures"], cfg=cfg,
+                                  exchange_cap=cap, row_starts=starts,
+                                  interpret=True)
+        np.testing.assert_allclose(shard.color, single.color, atol=1e-4)
+        np.testing.assert_allclose(shard.feature, single.feature, atol=1e-4)
+        np.testing.assert_allclose(shard.vfeature, single.vfeature,
+                                   atol=1e-4)
+        np.testing.assert_allclose(shard.depth, single.depth, atol=1e-3)
+        np.testing.assert_allclose(shard.weights, single.weights, atol=1e-4)
+        assert not bool(shard.overflow)
+
+
 def test_dp_svgss_train_step_and_sharded_bake():
     """Stage-2 DP step (param + env grads psum'd) and the gaussian-sharded
     radiance bake on the 8-device mesh; bake parity vs single-device."""
