@@ -74,6 +74,9 @@ def main():
     step = make_dp_train_step(mesh, opt, cfg, bg, lrs=lrs)
     lowered = step.lower(state, opt_state, batch, jnp.float32(1),
                          jnp.float32(1e-4))
+    n_src = lowered.as_text().count("all_reduce")
+    print(f"StableHLO all_reduce ops (per-leaf psums + metric psums): "
+          f"{n_src}")
     compiled = lowered.compile()
     txt = compiled.as_text()
 
@@ -81,8 +84,8 @@ def main():
     m = re.search(r"ENTRY [^\n]*\{(.*?)\n\}", txt, re.S)
     body = m.group(1) if m else txt
     lines = [ln for ln in body.split("\n") if "= " in ln]
-    ar_idx = [i for i, ln in enumerate(lines)
-              if re.search(r"= [^ ]* all-reduce", ln)]
+    ar_re = re.compile(r"\ball-reduce(?:-start)?\(")
+    ar_idx = [i for i, ln in enumerate(lines) if ar_re.search(ln)]
     total = len(lines)
     print(f"devices={ndev}  entry instructions={total}  "
           f"all-reduces={len(ar_idx)}")
@@ -90,8 +93,7 @@ def main():
         # collectives may live in a called/wrapped computation (shard_map
         # bodies become calls on some backends) — fall back to whole text
         lines = [ln for ln in txt.split("\n") if "= " in ln]
-        ar_idx = [i for i, ln in enumerate(lines)
-                  if re.search(r"= [^ ]* all-reduce", ln)]
+        ar_idx = [i for i, ln in enumerate(lines) if ar_re.search(ln)]
         total = len(lines)
         print(f"  (module-wide scan) instructions={total} "
               f"all-reduces={len(ar_idx)}")
@@ -100,19 +102,33 @@ def main():
         print(f"first all-reduce at {first}/{total} "
               f"({100 * first / total:.1f}% of schedule), last at {last} "
               f"({100 * last / total:.1f}%)")
-        print(f"instructions between first and last all-reduce: "
-              f"{last - first} -> the reduction is spread across "
-              f"{100 * (last - first) / total:.1f}% of the schedule, "
-              f"interleaved with backward compute, not clustered at the "
-              f"end")
-        sizes = re.findall(r"= (f32|bf16)\[([0-9,]*)\][^ ]* all-reduce",
-                           "\n".join(lines[i] for i in ar_idx))
+        spread = 100 * (last - first) / total
+        if len(ar_idx) > 1:
+            print(f"instructions between first and last all-reduce: "
+                  f"{last - first} ({spread:.1f}% of the schedule "
+                  f"interleaved with backward compute)")
+        else:
+            print("single combined all-reduce: this backend's combiner "
+                  "merged the per-leaf psums (nothing to spread; "
+                  "combining is a backend cost-model decision)")
+        sizes = re.findall(r"(f32|bf16)\[([0-9,]*)\]",
+                           "\n".join(lines[i].split("all-reduce")[0]
+                                      for i in ar_idx))
         print(f"per-leaf all-reduce operand shapes: "
               f"{[s for _, s in sizes]}")
         n_async = len(re.findall(r"all-reduce-start", txt))
-        print(f"async all-reduce-start ops: {n_async} "
-              f"(TPU latency-hiding scheduler splits sync all-reduces "
-              f"into start/done pairs; the CPU backend keeps them sync)")
+        print(f"async all-reduce-start ops: {n_async}")
+        print(
+            "reading: the psums are per-leaf at the source level (see "
+            "StableHLO count); the backend's all-reduce COMBINER then "
+            "merges them under its own cost model — the CPU backend "
+            "merges everything into one sync op, the TPU backend's "
+            "latency-hiding scheduler instead emits async "
+            "all-reduce-start/done pairs and hoists start across "
+            "independent backward compute (docs/PERF.md 'Gradient "
+            "reduction overlap').  The per-leaf source structure is the "
+            "precondition that leaves the TPU scheduler free to start "
+            "reducing early gradients while later ones still compute.")
 
 
 if __name__ == "__main__":
