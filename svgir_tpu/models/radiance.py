@@ -32,7 +32,8 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
                   valid: Optional[jax.Array] = None, k_hits: int = 16,
                   ray_chunk: int = 16384, gauss_chunk: int = 512,
                   use_grid: Optional[bool] = None,
-                  grid_t_max: Optional[float] = None) -> Dict:
+                  grid_t_max: Optional[float] = None,
+                  merge_every: Optional[int] = None) -> Dict:
     """Trace hemisphere samples for every surfel.
 
     Returns dict: radiance [N,S,3], visibility [N,S,1], incident_dirs
@@ -124,11 +125,16 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
             hi = int(counts_sorted[min((i + 1) * ray_chunk, r_total) - 1])
             return -(-max(hi, 1) // 32) * 32
 
+        if merge_every is None:
+            import os
+            merge_every = int(os.environ.get("SVGIR_BAKE_MERGE_EVERY", "1"))
+
         def run(geo_a, grid_a, shs_a, means_a, o, d, si, *, max_visits):
             hits = grid_tracer.nearest_hits_grid(geo_a, grid_a, o, d,
                                                  t_max=grid_t_max, k=k_hits,
                                                  n_steps=n_steps,
-                                                 max_visits=max_visits)
+                                                 max_visits=max_visits,
+                                                 merge_every=merge_every)
             out = tracing.radiance_march(hits, si, shs_a, means_a, o)
             # a clipped visit budget (never at the probed V, but callers
             # may pass their own) surfaces as exhaustion, same as a full

@@ -481,7 +481,8 @@ def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
                       rays_o: jax.Array, rays_d: jax.Array, *,
                       t_max: float = 2.0, k: int = 16,
                       n_steps: Optional[int] = None,
-                      max_visits: Optional[int] = None) -> Dict:
+                      max_visits: Optional[int] = None,
+                      merge_every: int = 1) -> Dict:
     """Grid-walk replacement for tracing.nearest_hits (same output dict,
     plus ``trunc`` [R] when the visit budget clipped a ray — see below).
 
@@ -509,12 +510,14 @@ def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
         max_visits = n_steps * nb_cap
     max_visits = min(max_visits, n_steps * nb_cap)
     return _nearest_hits_grid(geo, grid, rays_o, rays_d, t_max=t_max, k=k,
-                              n_steps=n_steps, max_visits=max_visits)
+                              n_steps=n_steps, max_visits=max_visits,
+                              merge_every=merge_every)
 
 
-@partial(jax.jit, static_argnames=("k", "n_steps", "max_visits"))
+@partial(jax.jit, static_argnames=("k", "n_steps", "max_visits",
+                                   "merge_every"))
 def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
-                       max_visits):
+                       max_visits, merge_every=1):
     r = rays_o.shape[0]
     cell_size = 1.0 / grid.inv_cell
     dt = jnp.min(cell_size) * 0.5      # half-cell steps: no diagonal misses
@@ -561,8 +564,9 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
         return {"t": -neg_top,
                 "idx": jnp.take_along_axis(all_idx, sel, axis=1)}
 
-    def body(carry, _):
-        vi, bi, hits = carry
+    def visit(vi, bi):
+        """One block visit at cursor (vi, bi): candidate t/idx + advanced
+        cursor."""
         j = visit_step[rows, jnp.minimum(vi, vs_budget - 1)]   # [R]
         live = (j < n_steps) & (vi < vs_budget)
         jj = jnp.minimum(j, n_steps - 1).astype(rays_o.dtype)
@@ -584,18 +588,32 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
             ids = jnp.where(live[:, None], ids_blocked[row], -1)
             cand = _test_candidates(geo, ids, rays_o, rays_d, t_lo, t_hi,
                                     packed=packed)
-        hits = merge(hits, cand["t"], cand["idx"])
         # cursor advance: next block of this cell, else next occupied step
         nb_here = jnp.minimum(_occupancy_at(grid, mid), cap)
         nb_here = -(-nb_here // blk)
         more = live & (bi + 1 < nb_here)
         vi = jnp.where(more, vi, vi + 1)
         bi = jnp.where(more, bi + 1, 0)
+        return cand, vi, bi
+
+    def body(carry, _):
+        vi, bi, hits = carry
+        # batch ``merge_every`` visits into ONE top-k merge: the merge is
+        # the dominant per-visit cost (9.5 ms/visit attributed r4) and
+        # top_k cost grows sublinearly in candidate width
+        cts, cis = [], []
+        for _u in range(merge_every):
+            cand, vi, bi = visit(vi, bi)
+            cts.append(cand["t"])
+            cis.append(cand["idx"])
+        hits = merge(hits, jnp.concatenate(cts, axis=1),
+                     jnp.concatenate(cis, axis=1))
         return (vi, bi, hits), None
 
     init_cur = (jnp.zeros((r,), jnp.int32), jnp.zeros((r,), jnp.int32),
                 init)
-    (_, _, hits), _ = jax.lax.scan(body, init_cur, None, length=max_visits)
+    (_, _, hits), _ = jax.lax.scan(
+        body, init_cur, None, length=-(-max_visits // merge_every))
     hits = _merge_big(hits, geo, grid, packed, rays_o, rays_d,
                       jnp.zeros((r,)), jnp.full((r,), t_max), k=k)
 
