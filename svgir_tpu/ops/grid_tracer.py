@@ -329,6 +329,40 @@ def _occupancy_at(grid: TraceGrid, pos: jax.Array) -> jax.Array:
     return grid.cell_count[_cell_index(grid, pos)]
 
 
+def bitonic_topk_small(t: jax.Array, idx: jax.Array, k: int):
+    """Smallest-k of (t [R, W], idx) along the last axis, ascending —
+    ``lax.top_k`` semantics via a STATIC bitonic network of elementwise
+    min/max + fixed permutations instead of XLA's sort custom call (the
+    sort was the dominant per-visit march cost: 9.5 ms for [8k, 48] on
+    v5e).  W is padded to a power of two with +inf/-1.  Ties and the
+    ordering of +inf slots may differ from lax.top_k (bitonic nets are
+    unstable); callers treat t==inf as "no hit", so only finite-slot
+    agreement matters.
+    """
+    r, w = t.shape
+    wp = 1 << (w - 1).bit_length()
+    if wp != w:
+        t = jnp.pad(t, ((0, 0), (0, wp - w)), constant_values=jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, wp - w)), constant_values=-1)
+    lane = jnp.arange(wp)
+    size = 2
+    while size <= wp:
+        stride = size // 2
+        while stride > 0:
+            partner = lane ^ stride
+            pt = jnp.take(t, partner, axis=1)
+            pi = jnp.take(idx, partner, axis=1)
+            up = (lane & size) == 0           # block sort direction
+            is_lo = lane < partner
+            # keep the smaller at the low lane of ascending blocks
+            keep_self = jnp.where(up == is_lo, t <= pt, t >= pt)
+            t = jnp.where(keep_self, t, pt)
+            idx = jnp.where(keep_self, idx, pi)
+            stride //= 2
+        size *= 2
+    return t[:, :k], idx[:, :k]
+
+
 # packed-row surfel table: ONE [R, L]-indexed row gather of a 32-lane table
 # instead of seven narrow per-field gathers (docs/PERF.md: tiny-row gathers
 # pay tile-read amplification; the rasterizer's slab gather idiom)
@@ -560,9 +594,8 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
     def merge(hits, cand_t, cand_idx):
         all_t = jnp.concatenate([hits["t"], cand_t], axis=1)
         all_idx = jnp.concatenate([hits["idx"], cand_idx], axis=1)
-        neg_top, sel = jax.lax.top_k(-all_t, k)
-        return {"t": -neg_top,
-                "idx": jnp.take_along_axis(all_idx, sel, axis=1)}
+        mt, mi = bitonic_topk_small(all_t, all_idx, k)
+        return {"t": mt, "idx": mi}
 
     def visit(vi, bi):
         """One block visit at cursor (vi, bi): candidate t/idx + advanced
@@ -658,9 +691,8 @@ def _merge_big(hits, geo, grid, packed, rays_o, rays_d, t_lo, t_hi, *, k):
                                 packed=packed)
         all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
         all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
-        neg_top, sel = jax.lax.top_k(-all_t, k)
-        return {"t": -neg_top,
-                "idx": jnp.take_along_axis(all_idx, sel, axis=1)}, None
+        mt, mi = bitonic_topk_small(all_t, all_idx, k)
+        return {"t": mt, "idx": mi}, None
 
     hits, _ = jax.lax.scan(body, hits, _big_blocks(grid))
     return hits

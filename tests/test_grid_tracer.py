@@ -127,3 +127,30 @@ def test_mixed_scale_scene_uses_big_partition():
         assert len(fb) == len(fg), f"ray {r}: {len(fb)} vs {len(fg)} hits"
         np.testing.assert_allclose(fb, fg, atol=1e-5)
         assert (ib[r][:len(fb)] == ig[r][:len(fg)]).all()
+
+
+def test_bitonic_topk_matches_lax_topk():
+    """The static merge network == lax.top_k on distinct finite keys, for
+    every width class the march uses (k+me*blk and the big-pass width)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from svgir_tpu.ops.grid_tracer import bitonic_topk_small
+
+    key = jax.random.PRNGKey(0)
+    for w in (48, 144, 272, 64):
+        key, k1 = jax.random.split(key)
+        t = jax.random.permutation(
+            k1, jnp.arange(37 * w, dtype=jnp.float32).reshape(37, w),
+            axis=1, independent=True)
+        # sprinkle inf "no hit" slots
+        t = jnp.where(t % 7 == 3, jnp.inf, t)
+        idx = t.astype(jnp.int32)
+        bt, bi = bitonic_topk_small(t, idx, 16)
+        neg, sel = jax.lax.top_k(-t, 16)
+        rt = -neg
+        ri = jnp.take_along_axis(idx, sel, axis=1)
+        np.testing.assert_array_equal(np.asarray(bt), np.asarray(rt))
+        fin = np.isfinite(np.asarray(rt))
+        np.testing.assert_array_equal(np.asarray(bi)[fin],
+                                      np.asarray(ri)[fin])

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--n", type=int, default=50_000)
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--brute", action="store_true")
+    ap.add_argument("--ray-chunk", type=int, default=16384)
+    ap.add_argument("--merge-every", type=int, default=None)
     args = ap.parse_args()
 
     from svgir_tpu.models import radiance as RAD
@@ -46,6 +48,8 @@ def main():
     t0 = time.time()
     bake = RAD.bake_radiance(means, scales, quats, opacity, shs,
                              sample_num=args.samples,
+                             ray_chunk=args.ray_chunk,
+                             merge_every=args.merge_every,
                              use_grid=not args.brute)
     jax.block_until_ready(bake["radiance"])
     t_total = time.time() - t0
@@ -57,6 +61,8 @@ def main():
     t0 = time.time()
     bake = RAD.bake_radiance(means, scales, quats, opacity, shs,
                              sample_num=args.samples,
+                             ray_chunk=args.ray_chunk,
+                             merge_every=args.merge_every,
                              use_grid=not args.brute)
     jax.block_until_ready(bake["radiance"])
     t_warm = time.time() - t0
