@@ -105,16 +105,26 @@ def render_gt_views(state, env_state, cams, *, sample_num: int,
     p["radiance_ratio"] = jnp.ones(())
     bake_static = {k: v for k, v in bake.items() if k != "exhausted_frac"}
     env_fn = lambda dirs: LT.env_light_direct(env_state, dirs)
-    out = []
-    for cam in cams:
-        res = render_svgss(cam, p, jnp.zeros(3), bake=bake_static,
+
+    # ONE jitted render shared by all views (strip_meta -> single cache
+    # entry); eager dispatch at 800x800 over the axon relay costs ~30 ms
+    # PER OP and made the r4 dataset generation ~100x slower than this
+    from svgir_tpu.train.trainer import strip_meta
+
+    @jax.jit
+    def _render(p, alive, bake, cam):
+        res = render_svgss(cam, p, jnp.zeros(3), bake=bake,
                            env_params=None, env_fn=env_fn,
                            opt=OptimizationConfig(), is_training=False,
                            alive=alive, cfg=cfg)
-        mask = (np.asarray(res["opacity"])[0] > 0.3).astype(np.float32)
+        return jnp.clip(res["pbr"], 0, 1), res["opacity"]
+
+    out = []
+    for cam in cams:
+        pbr, opac = _render(p, alive, bake_static, strip_meta(cam))
+        mask = (np.asarray(opac)[0] > 0.3).astype(np.float32)
         out.append(dataclasses.replace(
-            cam, image=jnp.clip(res["pbr"], 0, 1),
-            image_mask=jnp.asarray(mask)[None],
+            cam, image=pbr, image_mask=jnp.asarray(mask)[None],
             ))
     return out
 
