@@ -16,6 +16,7 @@ pbgi/bvhworkers/*.slang) with vectorized JAX over the tracing ops:
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -24,6 +25,51 @@ import jax.numpy as jnp
 from svgir_tpu.ops import tracing
 from svgir_tpu.utils.graphics import fibonacci_sphere_sampling
 from svgir_tpu.utils.transforms import normalize
+
+
+# MODULE-LEVEL jits: bake_radiance is called repeatedly (stage-2 start,
+# once per relight env, tests) — closures jitted inside its body rebuilt
+# a fresh jit cache every call, so every "warm" bake re-traced and
+# re-lowered the full march graph (~45 s of the r4 81 s warm bake).
+# Scalars that shape the trace ride as hashable static kwargs instead.
+
+@partial(jax.jit, static_argnames=("grid_t_max", "n_steps"))
+def _probe_blocks(grid, po, pd, *, grid_t_max, n_steps):
+    """[P, C] visit-block counts — the whole probe in ONE dispatch."""
+    from svgir_tpu.ops import grid_tracer
+    return jax.lax.map(
+        lambda od: grid_tracer.count_visit_blocks(
+            grid, od[0], od[1], t_max=grid_t_max, n_steps=n_steps),
+        (po, pd))
+
+
+@partial(jax.jit, static_argnames=("grid_t_max", "k_hits", "n_steps",
+                                   "merge_every", "max_visits"))
+def _march_group(geo, grid, shs, means, o, d, si, *, grid_t_max, k_hits,
+                 n_steps, merge_every, max_visits):
+    """lax.map of the compacted march over a group of same-budget ray
+    chunks — one dispatch per budget group."""
+    from svgir_tpu.ops import grid_tracer
+
+    def one(x):
+        o1, d1, s1 = x
+        hits = grid_tracer.nearest_hits_grid(
+            geo, grid, o1, d1, t_max=grid_t_max, k=k_hits,
+            n_steps=n_steps, max_visits=max_visits,
+            merge_every=merge_every)
+        out = tracing.radiance_march(hits, s1, shs, means, o1)
+        # a clipped visit budget (never at the probed V, but callers may
+        # pass their own) surfaces as exhaustion, like a full K-hit list
+        out["exhausted"] = out["exhausted"] | hits["trunc"]
+        return out
+
+    return jax.lax.map(one, (o, d, si))
+
+
+@partial(jax.jit, static_argnames=("gauss_chunk", "k_hits"))
+def _march_brute(geo, shs, means, o, d, si, *, gauss_chunk, k_hits):
+    hits = tracing.nearest_hits(geo, o, d, chunk=gauss_chunk, k=k_hits)
+    return tracing.radiance_march(hits, si, shs, means, o)
 
 
 def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
@@ -77,11 +123,13 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
     grid = None
     if use_grid:
         from svgir_tpu.ops import grid_tracer
-        res = grid_tracer.auto_res(geo)
+        import os as _os
+        _res_env = _os.environ.get("SVGIR_BAKE_RES")
+        res = int(_res_env) if _res_env else grid_tracer.auto_res(geo)
         grid = grid_tracer.build_grid_auto(geo, res=res, cell_cap=64,
                                            max_cells_per_gauss=64)
-        # smaller ray batches keep the per-step gather graph within the
-        # TPU compiler's appetite
+        # 8192-ray chunks measured fastest (r4: 32k chunks coarsen the
+        # per-chunk visit budgets more than they amortize fixed overhead)
         ray_chunk = min(ray_chunk, 8192)
         nchunks = -(-r_total // ray_chunk)
 
@@ -99,20 +147,20 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
         # candidate-BLOCK count (cheap [R]-count scan), then SORT the rays
         # by it — each chunk then runs at its own snug bucketed budget
         # instead of every chunk paying the global worst ray (~3x on
-        # typical scenes: mean ~25 visits vs a ~96 max).  Outputs are
-        # unsorted at the end; the march provably never truncates.
+        # typical scenes).  Outputs are unsorted at the end; the march
+        # provably never truncates.  The probe is ONE dispatch
+        # (lax.map over probe blocks): the r4 trace showed the warm bake
+        # ~95% host/dispatch-bound (device ~6 s of an 81 s bake), so every
+        # per-chunk python dispatch through the axon relay matters.
         probe_chunk = 131072
-        counts = []
-        for p0 in range(0, r_total, probe_chunk):
-            sl = slice(p0, min(p0 + probe_chunk, r_total))
-            pad = probe_chunk - (sl.stop - sl.start)
-            po = jnp.pad(rays_o[sl], ((0, pad), (0, 0)))
-            pdir = jnp.pad(rays_d[sl], ((0, pad), (0, 0)),
-                           constant_values=1.0)
-            cnt = grid_tracer.count_visit_blocks(
-                grid, po, pdir, t_max=grid_t_max, n_steps=n_steps)
-            counts.append(cnt[:sl.stop - sl.start])
-        counts = jnp.concatenate(counts)
+        npc = -(-r_total // probe_chunk)
+        ppad = npc * probe_chunk - r_total
+        po_all = jnp.pad(rays_o, ((0, ppad), (0, 0)))
+        pd_all = jnp.pad(rays_d, ((0, ppad), (0, 0)), constant_values=1.0)
+        counts = _probe_blocks(
+            grid, po_all.reshape(npc, probe_chunk, 3),
+            pd_all.reshape(npc, probe_chunk, 3),
+            grid_t_max=grid_t_max, n_steps=n_steps).reshape(-1)[:r_total]
         order = jnp.argsort(counts)
         counts_sorted = jax.device_get(counts[order])
         rays_o = rays_o[order]
@@ -120,51 +168,64 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
         self_idx = self_idx[order]
 
         def chunk_visits(i):
-            # snug bucketed block budget for chunk i (rays sorted by count;
-            # nearest_hits_grid clamps to the structural worst case)
+            # snug budget for chunk i, bucketed to the next power of two
+            # (>=32): few distinct budgets -> few trace/compile variants
+            # AND few dispatch groups (chunks sharing a budget dispatch as
+            # ONE lax.map call below)
             hi = int(counts_sorted[min((i + 1) * ray_chunk, r_total) - 1])
-            return -(-max(hi, 1) // 32) * 32
+            b = 32
+            while b < hi:
+                b *= 2
+            return b
 
         if merge_every is None:
             import os
             merge_every = int(os.environ.get("SVGIR_BAKE_MERGE_EVERY", "1"))
 
-        def run(geo_a, grid_a, shs_a, means_a, o, d, si, *, max_visits):
-            hits = grid_tracer.nearest_hits_grid(geo_a, grid_a, o, d,
-                                                 t_max=grid_t_max, k=k_hits,
-                                                 n_steps=n_steps,
-                                                 max_visits=max_visits,
-                                                 merge_every=merge_every)
-            out = tracing.radiance_march(hits, si, shs_a, means_a, o)
-            # a clipped visit budget (never at the probed V, but callers
-            # may pass their own) surfaces as exhaustion, same as a full
-            # K-hit list
-            out["exhausted"] = out["exhausted"] | hits["trunc"]
-            return out
+    if use_grid:
+        # group chunks sharing a (pow2-bucketed) budget and dispatch each
+        # group as ONE jitted lax.map: ~4-6 dispatches total instead of
+        # nchunks (391 at bench shapes — at ~150 ms host+relay overhead
+        # per dispatch that WAS the bake wall-clock, not the device work)
+        tail = nchunks * ray_chunk - r_total
+        o_p = jnp.pad(rays_o, ((0, tail), (0, 0)))
+        d_p = jnp.pad(rays_d, ((0, tail), (0, 0)), constant_values=1.0)
+        si_p = jnp.pad(self_idx, (0, tail))
+        budgets = [chunk_visits(i) for i in range(nchunks)]
+        i = 0
+        while i < nchunks:
+            jx = i
+            while jx < nchunks and budgets[jx] == budgets[i]:
+                jx += 1
+            g = jx - i
+            sl = slice(i * ray_chunk, jx * ray_chunk)
+            res = _march_group(geo, grid, shs, means,
+                               o_p[sl].reshape(g, ray_chunk, 3),
+                               d_p[sl].reshape(g, ray_chunk, 3),
+                               si_p[sl].reshape(g, ray_chunk),
+                               grid_t_max=grid_t_max, k_hits=k_hits,
+                               n_steps=n_steps, merge_every=merge_every,
+                               max_visits=budgets[i])
+            outs.append(jax.tree.map(
+                lambda x: x.reshape((g * ray_chunk,) + x.shape[2:]), res))
+            i = jx
+        cat = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, 0)[:r_total], *outs)
     else:
-        def run(geo_a, grid_a, shs_a, means_a, o, d, si, *, max_visits):
-            del grid_a, max_visits
-            hits = tracing.nearest_hits(geo_a, o, d, chunk=gauss_chunk,
-                                        k=k_hits)
-            return tracing.radiance_march(hits, si, shs_a, means_a, o)
-
-    run_j = jax.jit(run, static_argnames=("max_visits",))
-    grid_arg = grid if grid is not None else jnp.zeros((0,))
-    for i in range(nchunks):
-        sl = slice(i * ray_chunk, min((i + 1) * ray_chunk, r_total))
-        pad = ray_chunk - (sl.stop - sl.start)
-        o = jnp.pad(rays_o[sl], ((0, pad), (0, 0)))
-        d = jnp.pad(rays_d[sl], ((0, pad), (0, 0)), constant_values=1.0)
-        si = jnp.pad(self_idx[sl], (0, pad))
-        res = run_j(geo, grid_arg, shs, means, o, d, si,
-                    max_visits=chunk_visits(i) if use_grid else 0)
-        outs.append(jax.tree.map(lambda x: x[:sl.stop - sl.start], res))
-        if i % 16 == 15:
-            # cap the async dispatch queue: hundreds of multi-second chunk
-            # programs enqueued at once can wedge the device transport
-            jax.block_until_ready(res["radiance"])
-
-    cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+        for i in range(nchunks):
+            sl = slice(i * ray_chunk, min((i + 1) * ray_chunk, r_total))
+            pad = ray_chunk - (sl.stop - sl.start)
+            o = jnp.pad(rays_o[sl], ((0, pad), (0, 0)))
+            d = jnp.pad(rays_d[sl], ((0, pad), (0, 0)), constant_values=1.0)
+            si = jnp.pad(self_idx[sl], (0, pad))
+            res = _march_brute(geo, shs, means, o, d, si,
+                               gauss_chunk=gauss_chunk, k_hits=k_hits)
+            outs.append(jax.tree.map(lambda x: x[:sl.stop - sl.start], res))
+            if i % 16 == 15:
+                # cap the async dispatch queue: hundreds of multi-second
+                # chunk programs enqueued at once can wedge the transport
+                jax.block_until_ready(res["radiance"])
+        cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
     if use_grid:
         # undo the visit-count ray sort
         inv = jnp.zeros_like(order).at[order].set(

@@ -72,14 +72,20 @@ class TraceGrid(NamedTuple):
 
 
 def auto_res(geo: tracing.SurfelGeometry, *, sigma: float = 3.0,
-             target_span: float = 2.0, max_res: int = 128,
+             target_span: float = 1.0, max_res: int = 128,
              span_cap: int = 64, big_frac: float = 0.01) -> int:
     """Pick a grid resolution: start from the res where the MEDIAN surfel
     spans ~target_span cells per axis, then walk down until at most
     ``big_frac`` of surfels exceed the ``span_cap``-cell span budget
     (exact span simulation, including the dt/2 AABB expansion and AABB
     cubing of tilted disks) — otherwise wide scale distributions dump a
-    large fraction of surfels into the dense big-surfel pass."""
+    large fraction of surfels into the dense big-surfel pass.
+
+    target_span 1.0 (r4, was 2.0): the march-cost optimum measured on the
+    50k bench scene — res {12,16,20,30} gave warm bakes {48,40,41,53} s;
+    smaller spans cut per-surfel cell duplication (fewer repeated tests
+    of the same surfel from neighboring cells) faster than the fatter
+    per-cell lists grow the per-visit width."""
     import numpy as np
     valid = np.asarray(geo.valid)
     sc = np.asarray(geo.scales)[valid]
@@ -329,6 +335,42 @@ def _occupancy_at(grid: TraceGrid, pos: jax.Array) -> jax.Array:
     return grid.cell_count[_cell_index(grid, pos)]
 
 
+def rank_topk_small(t: jax.Array, idx: jax.Array, k: int):
+    """Smallest-k by COUNTING RANK: rank_i = #{j: t_j < t_i} + #{j < i:
+    t_j == t_i}; keep rank < k, place by one-hot max-select.  All
+    broadcast elementwise ops — no cross-lane permutes (the bitonic
+    network's 2 takes/stage) — at O(W^2) compares, which wins for the
+    march's W = k + blk = 48.  Exact lax.top_k semantics incl. stable
+    tie-break (the bitonic variant reorders ties; both are accepted by
+    callers, but rank is the stricter contract)."""
+    r, w = t.shape
+    lane = jnp.arange(w)
+    less = t[:, None, :] < t[:, :, None]                  # t_j < t_i
+    eq_lo = (t[:, None, :] == t[:, :, None]) \
+        & (lane[None, None, :] < lane[None, :, None])
+    rank = (less | eq_lo).sum(-1)                         # [R, W]
+    onehot = rank[:, :, None] == lane[None, None, :k]     # [R, W, k]
+    sel_t = jnp.max(jnp.where(onehot, t[:, :, None], -jnp.inf), axis=1)
+    sel_i = jnp.max(jnp.where(onehot, idx[:, :, None], -(1 << 30)), axis=1)
+    # ranks >= w can't happen; every slot < k is filled exactly once
+    return sel_t, sel_i.astype(idx.dtype)
+
+
+_MERGE_IMPL = __import__("os").environ.get("SVGIR_MERGE_IMPL", "rank")
+
+
+def merge_topk_small(t: jax.Array, idx: jax.Array, k: int):
+    """March merge dispatch: 'rank' (default) | 'bitonic' | 'topk'."""
+    if _MERGE_IMPL == "bitonic":
+        return bitonic_topk_small(t, idx, k)
+    if _MERGE_IMPL == "topk":
+        neg, sel = jax.lax.top_k(-t, k)
+        return -neg, jnp.take_along_axis(idx, sel, axis=1)
+    if _MERGE_IMPL == "none":      # attribution only: WRONG results
+        return t[:, :k], idx[:, :k]
+    return rank_topk_small(t, idx, k)
+
+
 def bitonic_topk_small(t: jax.Array, idx: jax.Array, k: int):
     """Smallest-k of (t [R, W], idx) along the last axis, ascending —
     ``lax.top_k`` semantics via a STATIC bitonic network of elementwise
@@ -474,9 +516,68 @@ def count_visit_blocks(grid: TraceGrid, rays_o: jax.Array,
                        blk: int = _TRACE_BLOCK) -> jax.Array:
     """[R] total candidate BLOCKS over a ray's march — the exact visit
     budget of the sub-block compacted march (each visit tests one
-    ``blk``-wide slice of one cell's list)."""
-    return _block_scan(grid, rays_o, rays_d, t_max=t_max,
-                       n_steps=n_steps, blk=blk).sum(1)
+    ``blk``-wide slice of one CELL-RUN's list; consecutive steps in the
+    same cell are deduplicated into one visit, see ``_run_scan``)."""
+    nb, _ = _run_scan(grid, rays_o, rays_d, n_steps=n_steps, blk=blk,
+                      kmax=_run_kmax(grid))
+    return nb.sum(1)
+
+
+def _run_kmax(grid: TraceGrid) -> int:
+    """Static cap on how many half-cell steps one cell can span along a
+    ray: ceil(sqrt(3) * max_cell / (min_cell / 2)), clamped to 8 (longer
+    pathological runs are split into multiple exact visits)."""
+    try:
+        import numpy as np
+        cell = 1.0 / np.asarray(jax.device_get(grid.inv_cell))
+        return int(min(8, max(2, np.ceil(3.47 * cell.max() / cell.min()))))
+    except Exception:               # traced grid inside jit
+        return 4
+
+
+@partial(jax.jit, static_argnames=("n_steps", "blk", "kmax"))
+def _run_scan(grid, rays_o, rays_d, *, n_steps, blk, kmax):
+    """Cell-run visit list: half-cell steps sample the same cell 2-3x
+    (dt = min_cell/2), so marching per STEP re-gathers and re-tests every
+    candidate per repeat.  This scan marks only RUN STARTS (first step of
+    a consecutive same-cell group, groups capped at ``kmax`` steps) and
+    returns
+
+      nb    [R, n_steps] — candidate blocks at run starts, 0 elsewhere
+      spans [R, n_steps] — run length in steps (valid at run starts)
+
+    The march then visits each distinct cell once with the window
+    [t_lo, t_lo + span*dt) — outputs identical to the per-step walk (the
+    dt/2 AABB expansion guarantee is per-step and every step of a run
+    shares the run's cell)."""
+    r = rays_o.shape[0]
+    dt = jnp.min(1.0 / grid.inv_cell) * 0.5
+    cap = grid.cell_ids.shape[1]
+
+    def body(carry, j):
+        prev_cell, run_pos = carry
+        mid = rays_o + (j * dt + 0.5 * dt) * rays_d
+        cell = _cell_index(grid, mid)
+        cnt = jnp.minimum(grid.cell_count[cell], cap)
+        same = (cell == prev_cell) & (j > 0)
+        run_pos = jnp.where(same, run_pos + 1, 0)
+        start = (cnt > 0) & (run_pos % kmax == 0)
+        nb = jnp.where(start, -(-cnt // blk), 0)
+        return (cell, run_pos), (nb, cell)
+
+    init = (jnp.full((r,), -1, jnp.int32), jnp.zeros((r,), jnp.int32))
+    _, (nb, cells) = jax.lax.scan(body, init, jnp.arange(n_steps))
+    nb, cells = nb.T, cells.T                        # [R, n_steps]
+    same = jnp.concatenate(
+        [jnp.zeros((r, 1), bool), cells[:, 1:] == cells[:, :-1]], axis=1)
+    spans = jnp.ones(nb.shape, jnp.int32)
+    acc = jnp.ones(nb.shape, bool)
+    for u in range(1, kmax):
+        # prod_{v=1..u} same[j+v]  ==  cells j..j+u all equal
+        nxt = jnp.pad(same[:, u:], ((0, 0), (0, u)))
+        acc = acc & nxt
+        spans = spans + acc.astype(jnp.int32)
+    return nb, spans
 
 
 @partial(jax.jit, static_argnames=("n_steps",))
@@ -492,23 +593,6 @@ def _occupancy_scan(grid, rays_o, rays_d, *, t_max, n_steps):
 
     _, occ = jax.lax.scan(body, None, jnp.arange(n_steps))
     return occ.T
-
-
-@partial(jax.jit, static_argnames=("n_steps", "blk"))
-def _block_scan(grid, rays_o, rays_d, *, t_max, n_steps, blk):
-    """[R, n_steps] int32 — candidate blocks (ceil(count/blk), count
-    clipped to the cap) in each step's cell."""
-    del t_max
-    dt = jnp.min(1.0 / grid.inv_cell) * 0.5
-    cap = grid.cell_ids.shape[1]
-
-    def body(_, j):
-        mid = rays_o + (j * dt + 0.5 * dt) * rays_d
-        cnt = jnp.minimum(_occupancy_at(grid, mid), cap)
-        return None, -(-cnt // blk)
-
-    _, nb = jax.lax.scan(body, None, jnp.arange(n_steps))
-    return nb.T
 
 
 def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
@@ -545,13 +629,14 @@ def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
     max_visits = min(max_visits, n_steps * nb_cap)
     return _nearest_hits_grid(geo, grid, rays_o, rays_d, t_max=t_max, k=k,
                               n_steps=n_steps, max_visits=max_visits,
-                              merge_every=merge_every)
+                              merge_every=merge_every,
+                              kmax=_run_kmax(grid))
 
 
 @partial(jax.jit, static_argnames=("k", "n_steps", "max_visits",
-                                   "merge_every"))
+                                   "merge_every", "kmax"))
 def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
-                       max_visits, merge_every=1):
+                       max_visits, merge_every=1, kmax=4):
     r = rays_o.shape[0]
     cell_size = 1.0 / grid.inv_cell
     dt = jnp.min(cell_size) * 0.5      # half-cell steps: no diagonal misses
@@ -567,15 +652,17 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
                 grid.cell_ids, ((0, 0), (0, nb_cap * blk - cap)),
                 constant_values=-1).reshape(-1, blk)
 
-    nblocks = _block_scan(grid, rays_o, rays_d, t_max=t_max,
-                          n_steps=n_steps, blk=blk)       # [R, n_steps]
-    # occupied step indices, ascending; dead slots -> n_steps + 9.  The
-    # step-level visit list is at most max_visits long (>=1 block/step)
+    nblocks, spans = _run_scan(grid, rays_o, rays_d, n_steps=n_steps,
+                               blk=blk, kmax=kmax)        # [R, n_steps] x2
+    # run-start step indices, ascending; dead slots -> n_steps + 9.  The
+    # step-level visit list is at most max_visits long (>=1 block/run)
     steps_or_big = jnp.where(nblocks > 0, jnp.arange(n_steps)[None, :],
                              n_steps + 9)
     vs_budget = min(max_visits, n_steps)
     neg, _ = jax.lax.top_k(-steps_or_big, vs_budget)
     visit_step = -neg                                      # [R, Vs]
+    visit_span = jnp.take_along_axis(
+        spans, jnp.minimum(visit_step, n_steps - 1), axis=1)
     trunc = nblocks.sum(1) > max_visits
 
     # idx-only merge carry: t (the sort key) + candidate id.  alpha/uv are
@@ -600,11 +687,13 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
     def visit(vi, bi):
         """One block visit at cursor (vi, bi): candidate t/idx + advanced
         cursor."""
-        j = visit_step[rows, jnp.minimum(vi, vs_budget - 1)]   # [R]
+        vc = jnp.minimum(vi, vs_budget - 1)
+        j = visit_step[rows, vc]                               # [R]
         live = (j < n_steps) & (vi < vs_budget)
         jj = jnp.minimum(j, n_steps - 1).astype(rays_o.dtype)
+        span = visit_span[rows, vc].astype(rays_o.dtype)       # run length
         t_lo = jj * dt
-        t_hi = jnp.minimum((jj + 1) * dt, t_max)
+        t_hi = jnp.minimum((jj + span) * dt, t_max)
         mid = rays_o + (t_lo + 0.5 * dt)[:, None] * rays_d
         cell = _cell_index(grid, mid)
         if use_blocks:
@@ -691,7 +780,7 @@ def _merge_big(hits, geo, grid, packed, rays_o, rays_d, t_lo, t_hi, *, k):
                                 packed=packed)
         all_t = jnp.concatenate([carry["t"], cand["t"]], axis=1)
         all_idx = jnp.concatenate([carry["idx"], cand["idx"]], axis=1)
-        mt, mi = bitonic_topk_small(all_t, all_idx, k)
+        mt, mi = merge_topk_small(all_t, all_idx, k)
         return {"t": mt, "idx": mi}, None
 
     hits, _ = jax.lax.scan(body, hits, _big_blocks(grid))
