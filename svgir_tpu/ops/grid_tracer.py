@@ -27,12 +27,11 @@ from svgir_tpu.ops import tracing
 
 # per-visit candidate width of the compacted march: each visit tests one
 # block-wide slice of one cell's list, so per-cell caps can grow tall for
-# hot cells without inflating every visit's gather.  32 (r4, was 128):
-# typical visited cells hold well under 32 candidates, so most visits were
-# 70-90% padding — the dominant per-visit costs (geo-row gather + top-k
-# merge) scale with the block width while the visit count only grows for
-# genuinely hot cells.
-_TRACE_BLOCK = 32
+# hot cells without inflating every visit's gather.  64 (r4 final): at the
+# coarse target_span=1.0 grid the per-cell lists are fat enough that
+# 64-wide visits halve the visit count without much padding — measured
+# {32: 40.3 s, 64: 37.4 s, 128: 51.0 s} on the 50k x 64 bench bake.
+_TRACE_BLOCK = int(__import__("os").environ.get("SVGIR_TRACE_BLOCK", "64"))
 
 
 class TraceGrid(NamedTuple):
