@@ -82,6 +82,8 @@ def build():
                                       N_GAUSS),
         "uv": jax.random.uniform(k[7], (N_GAUSS, SAMPLE_NUM, 2)),
     }
+    qx, qy = LT.equirect_grid_coords(inc_dirs)
+    bake["incident_qxy"] = jnp.stack([qx, qy], axis=-1)
     params["radiances"] = bake["radiance"]
     params["radiance_ratio"] = jnp.ones(())
     state = {**state, "params": params}

@@ -85,6 +85,11 @@ def eval_relighting(out_dir: str, params, alive, env_state: Dict,
     params["radiance_ratio"] = jnp.ones(())
     bake_static = {k: v for k, v in bake.items() if k != "exhausted_frac"}
     env_fn = lambda dirs: LT.env_light_direct(env_state, dirs)
+    # precomputed-uv fast path (only valid without a direction transform)
+    env_qxy_fn = None
+    if env_state.get("transform") is None:
+        env_qxy_fn = lambda q: LT.env_light_direct_qxy(env_state, q[..., 0],
+                                                       q[..., 1])
 
     # one jitted render shared across views (strip_meta collapses per-camera
     # static metadata to a single jit cache entry); the identity scale
@@ -95,7 +100,8 @@ def eval_relighting(out_dir: str, params, alive, env_state: Dict,
     @jax.jit
     def _render(params, alive, bake, cam, bcs):
         return render_svgss(cam, params, bg, bake=bake, env_params=None,
-                            env_fn=env_fn, opt=OptimizationConfig(),
+                            env_fn=env_fn, env_qxy_fn=env_qxy_fn,
+                            opt=OptimizationConfig(),
                             is_training=False, alive=alive, cfg=raster_cfg,
                             base_color_scale=bcs)
 

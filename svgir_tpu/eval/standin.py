@@ -105,6 +105,10 @@ def render_gt_views(state, env_state, cams, *, sample_num: int,
     p["radiance_ratio"] = jnp.ones(())
     bake_static = {k: v for k, v in bake.items() if k != "exhausted_frac"}
     env_fn = lambda dirs: LT.env_light_direct(env_state, dirs)
+    env_qxy_fn = None
+    if env_state.get("transform") is None:
+        env_qxy_fn = lambda q: LT.env_light_direct_qxy(env_state, q[..., 0],
+                                                       q[..., 1])
 
     # ONE jitted render shared by all views (strip_meta -> single cache
     # entry); eager dispatch at 800x800 over the axon relay costs ~30 ms
@@ -115,6 +119,7 @@ def render_gt_views(state, env_state, cams, *, sample_num: int,
     def _render(p, alive, bake, cam):
         res = render_svgss(cam, p, jnp.zeros(3), bake=bake,
                            env_params=None, env_fn=env_fn,
+                           env_qxy_fn=env_qxy_fn,
                            opt=OptimizationConfig(), is_training=False,
                            alive=alive, cfg=cfg)
         return jnp.clip(res["pbr"], 0, 1), res["opacity"]

@@ -102,18 +102,44 @@ def _bilinear_lookup(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     return out.reshape(*shape, c)
 
 
-def _equirect_query(dirs: jax.Array, h: int, w: int):
-    """Reference direct_light mapping (direct_light_map.py:70-83):
-    phi = arccos(z) - 1e-6, theta = atan2(y, x); grid coords
-    qx = -theta/pi, qy = phi/pi*2 - 1 (align_corners)."""
+def equirect_grid_coords(dirs: jax.Array):
+    """(qx, qy) grid coords in [-1, 1], resolution-INDEPENDENT half of the
+    reference direct_light mapping (direct_light_map.py:70-83):
+    phi = arccos(z) - 1e-6, theta = atan2(y, x), qx = -theta/pi,
+    qy = phi/pi*2 - 1.  Precomputed ONCE per bake for the constant
+    incident_dirs (``bake_radiance`` stores them as ``incident_qxy``):
+    re-deriving them per stage-2 step forced [1.2M, 3] layout transposes
+    around the component accesses — ~3.5 ms/step of pure copies in the
+    r4 trace."""
     z = jnp.clip(dirs[..., 2], -1.0, 1.0)
     phi = jnp.arccos(z) - 1e-6
     theta = jnp.arctan2(dirs[..., 1], dirs[..., 0])
-    qx = -theta / math.pi
-    qy = (phi / math.pi) * 2 - 1
-    u = (qx + 1) * 0.5 * (w - 1)
-    v = (qy + 1) * 0.5 * (h - 1)
-    return u, v
+    return -theta / math.pi, (phi / math.pi) * 2 - 1
+
+
+def _equirect_query(dirs: jax.Array, h: int, w: int):
+    """Pixel-coordinate equirect query (align_corners)."""
+    qx, qy = equirect_grid_coords(dirs)
+    return (qx + 1) * 0.5 * (w - 1), (qy + 1) * 0.5 * (h - 1)
+
+
+def direct_light_qxy(params, qx: jax.Array, qy: jax.Array) -> jax.Array:
+    """``direct_light`` from precomputed grid coords (same floats: the
+    pixel mapping below is identical to _equirect_query's)."""
+    env = env_activated(params)
+    h, w = env.shape[0], env.shape[1]
+    return _bilinear_lookup(env, (qx + 1) * 0.5 * (w - 1),
+                            (qy + 1) * 0.5 * (h - 1)) * 2.0
+
+
+def env_light_direct_qxy(state, qx: jax.Array, qy: jax.Array) -> jax.Array:
+    """``env_light_direct`` from precomputed grid coords.  Only valid when
+    the light has NO direction transform (rotated relight envs re-derive
+    uv from the transformed dirs — callers gate on that)."""
+    env = state["lookup"]
+    h, w = env.shape[0], env.shape[1]
+    return _bilinear_lookup(env, (qx + 1) * 0.5 * (w - 1),
+                            (qy + 1) * 0.5 * (h - 1))
 
 
 # ---------------------------------------------------------------------------

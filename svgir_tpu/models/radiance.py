@@ -231,11 +231,17 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0]))
         cat = jax.tree.map(lambda x: x[inv], cat)
+    # equirect grid coords of the (constant) incident dirs, precomputed
+    # once so per-step env lookups skip the dirs->uv math entirely
+    # (models/lights.equirect_grid_coords)
+    from svgir_tpu.models.lights import equirect_grid_coords
+    qx, qy = equirect_grid_coords(dirs)
     return {
         "radiance": cat["radiance"].reshape(n, s, 3),
         "visibility": cat["visibility"].reshape(n, s, 1),
         "incident_dirs": dirs,
         "incident_areas": areas,
+        "incident_qxy": jnp.stack([qx, qy], axis=-1),
         "hit_idx": cat["first_hit"].reshape(n, s),
         "uv": cat["first_uv"].reshape(n, s, 2),
         "exhausted_frac": cat["exhausted"].mean(),

@@ -50,7 +50,7 @@ def render_view_svgss(camera, params, bake: Dict, env_params, bg: jax.Array,
                       mean2d_offset: Optional[jax.Array] = None,
                       sh_degree: int = 3,
                       base_color_scale: Optional[jax.Array] = None,
-                      env_fn=None,
+                      env_fn=None, env_qxy_fn_override=None,
                       cfg: RasterConfig = RasterConfig()) -> Dict[str, Any]:
     """svgss.py:15-262 equivalent.
 
@@ -73,14 +73,25 @@ def render_view_svgss(camera, params, bake: Dict, env_params, bg: jax.Array,
     radiances = G.get_radiances(params)                          # [N,S,3]
     viewdirs = normalize(camera.camera_center[None] - xyz)
 
+    env_qxy_fn = None
     if env_fn is None:
         env_fn = lambda dirs: LT.direct_light(env_params, dirs)
+        env_qxy_fn = lambda q: LT.direct_light_qxy(env_params, q[..., 0],
+                                                   q[..., 1])
+    elif env_qxy_fn_override is not None:
+        env_qxy_fn = env_qxy_fn_override
 
     # ONE env evaluation per step: eq4's global lights and the consistency
     # loss both need env(incident_dirs); the lookup is a lax.map loop XLA
     # will not CSE, so evaluate here and share (exposed to the loss as
-    # results["_env_radiance"])
-    env_radiance = env_fn(bake["incident_dirs"])
+    # results["_env_radiance"]).  Baked incident dirs carry precomputed
+    # equirect coords (incident_qxy) — the per-step dirs->uv math and its
+    # [N*S, 3] layout transposes vanish (same floats, lights.py).
+    qxy = bake.get("incident_qxy")
+    if qxy is not None and env_qxy_fn is not None:
+        env_radiance = env_qxy_fn(qxy)
+    else:
+        env_radiance = env_fn(bake["incident_dirs"])
 
     pbr, extra = rendering_equation4(
         base_color, roughness, shading_normal, viewdirs, radiances,
@@ -277,13 +288,15 @@ def render_svgss(camera, params, bg, *, bake=None, env_params=None,
                  opt: OptimizationConfig = None, iteration=0,
                  is_training=False, alive=None, mean2d_offset=None,
                  sh_degree=3, base_color_scale=None, env_fn=None,
+                 env_qxy_fn=None,
                  cfg: RasterConfig = RasterConfig(), **_) -> Dict[str, Any]:
     """svgss.py:406-424: render, loss, then rotate normals to world space
     *after* the loss (losses see view space)."""
     results = render_view_svgss(
         camera, params, bake, env_params, bg, is_training=is_training,
         alive=alive, mean2d_offset=mean2d_offset, sh_degree=sh_degree,
-        base_color_scale=base_color_scale, env_fn=env_fn, cfg=cfg)
+        base_color_scale=base_color_scale, env_fn=env_fn,
+        env_qxy_fn_override=env_qxy_fn, cfg=cfg)
     if is_training:
         loss, tb = calculate_loss_svgss(
             camera, params, bake, results, opt, env_params, iteration,
