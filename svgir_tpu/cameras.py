@@ -124,14 +124,24 @@ def make_camera(R: np.ndarray, T: np.ndarray, fovx: float, fovy: float,
     center = c2w[:3, 3]
 
     def dev(x):
-        return None if x is None else jnp.asarray(x, jnp.float32)
+        # Image-plane tensors stay HOST-resident (numpy): they cross to the
+        # device per step at the jit boundary (one ~10 MB async transfer
+        # that pipelines behind compute) instead of eagerly at load.  A
+        # 100-view 800px scene pushed >1 GB through the device transport
+        # before the first train step otherwise, which the axon relay
+        # aborts with INTERNAL (observed 2026-08-20; 40 views fit, 100
+        # did not).  The CUDA reference keeps images GPU-resident
+        # (scene/cameras.py:38-57) — on TPU the per-step transfer is the
+        # right trade: no HBM residency, same step time once pipelined.
+        return None if x is None else np.asarray(x, np.float32)
 
     if image is not None and image_mask is None:
         image_mask = np.ones((1, height, width), np.float32)
     return Camera(
-        world_view=jnp.asarray(w2c), full_proj=jnp.asarray(full),
-        camera_center=jnp.asarray(center, jnp.float32),
-        prcppoint=jnp.array([0.5, 0.5], jnp.float32),
+        world_view=np.asarray(w2c, np.float32),
+        full_proj=np.asarray(full, np.float32),
+        camera_center=np.asarray(center, np.float32),
+        prcppoint=np.array([0.5, 0.5], np.float32),
         height=height, width=width, fovx=fovx, fovy=fovy,
         znear=znear, zfar=zfar, uid=uid, image_name=image_name,
         image=dev(image), image_mask=dev(image_mask), depth=dev(depth),
