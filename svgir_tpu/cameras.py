@@ -169,7 +169,9 @@ def camera_at_scale(cam: Camera, scale: float) -> Camera:
                          interpolation=cv2.INTER_AREA)
         if out.ndim == 2:
             out = out[..., None]
-        return jnp.asarray(out.transpose(2, 0, 1), jnp.float32)
+        # host-resident like make_camera: transfer happens at the jit
+        # boundary (or once, via train.staging), never eagerly at load
+        return np.asarray(out.transpose(2, 0, 1), np.float32)
 
     return dataclasses.replace(
         cam, width=w, height=h, image=rs(cam.image),

@@ -31,6 +31,9 @@ from svgir_tpu.utils.transforms import get_expon_lr_fn
 def strip_meta(camera):
     """Remove per-camera static metadata so all cameras share one jit cache
     entry."""
+    from svgir_tpu.train.staging import StagedCamera
+    if isinstance(camera, StagedCamera):
+        return StagedCamera(strip_meta(camera.cam), camera.packed)
     return dataclasses.replace(camera, uid=0, image_name="")
 
 
@@ -190,8 +193,23 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
                 percent_dense=opt.percent_dense),
         static_argnames=("max_screen_size",))
 
+    def _sync(tag):
+        if os.environ.get("SVGIR_DEBUG_SYNC"):
+            try:
+                jax.block_until_ready(jnp.zeros(()) + 1.0)
+                print(f"sync ok: {tag}", flush=True)
+            except Exception as exc:
+                print(f"SYNC FAILED at {tag}: {type(exc).__name__}: {exc}",
+                      flush=True)
+                raise
+
     key = jax.random.PRNGKey(seed)
-    cams = [strip_meta(c) for c in cameras]
+    _sync("prngkey")
+    # one-time device residency: per-step host->device image upload is the
+    # dominant trainer cost on a tunneled TPU (25x gap, see staging.py)
+    from svgir_tpu.train.staging import resolve, stage_cameras
+    cams = stage_cameras([strip_meta(c) for c in cameras])
+    _sync("staging")
     extent = spatial_lr_scale  # cameras_extent == spatial_lr_scale (train.py)
 
     bgj = jnp.asarray(bg)
@@ -212,9 +230,12 @@ def train_stage1(state, cameras: List, opt: OptimizationConfig, *,
         vis_interval=vis_interval)
 
     history = []
+    _sync("pre-loop")
     t0 = time.time()
     for it in range(first_iter + 1, iterations + 1):
-        cam = camera_for_iter(cams, it, seed)
+        cam = resolve(camera_for_iter(cams, it, seed))
+        if it == first_iter + 1:
+            _sync("first-resolve")
         xyz_lr = float(xyz_sched(it))
 
         if it >= opt.densify_until_iter and step_fn_fast is None:
@@ -438,7 +459,8 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
         lr_delay_mult=opt.position_lr_delay_mult,
         max_steps=opt.position_lr_max_steps)
 
-    cams = [strip_meta(c) for c in cameras]
+    from svgir_tpu.train.staging import resolve, stage_cameras
+    cams = stage_cameras([strip_meta(c) for c in cameras])
 
     from svgir_tpu.render.svgss import render_view_svgss
     from svgir_tpu.train import checkpoint as CK
@@ -467,7 +489,7 @@ def train_stage2(state, cameras: List, opt: OptimizationConfig, *,
     history = []
     t0 = time.time()
     for it in range(first_iter + 1, iterations + 1):
-        cam = camera_for_iter(cams, it, seed)
+        cam = resolve(camera_for_iter(cams, it, seed))
         xyz_lr = float(xyz_sched(it))
 
         state, opt_state, env_state, tb = step_fn(

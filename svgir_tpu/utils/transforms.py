@@ -125,6 +125,23 @@ def get_expon_lr_fn(lr_init: float, lr_final: float,
     Returns a function of the (possibly traced) step producing the LR.
     """
     def helper(step):
+        if not isinstance(step, (jax.core.Tracer, jax.Array)):
+            # host path for concrete steps: the training loops call this
+            # once per iteration — a jnp version would add a device
+            # round-trip (and a blocking D2H sync at ``float()``) to every
+            # step of the hot loop
+            import math
+            if (lr_init == 0.0 and lr_final == 0.0) or step < 0:
+                return 0.0
+            if lr_delay_steps > 0:
+                delay_rate = lr_delay_mult + (1 - lr_delay_mult) * math.sin(
+                    0.5 * math.pi * min(max(step / lr_delay_steps, 0.0), 1.0))
+            else:
+                delay_rate = 1.0
+            t = min(max(step / max_steps, 0.0), 1.0)
+            li = math.log(lr_init) if lr_init > 0 else -math.inf
+            lf = math.log(lr_final) if lr_final > 0 else -math.inf
+            return delay_rate * math.exp(li * (1 - t) + lf * t)
         if lr_init == 0.0 and lr_final == 0.0:
             return jnp.zeros_like(jnp.asarray(step, jnp.float32))
         step = jnp.asarray(step, jnp.float32)
