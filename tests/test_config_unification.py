@@ -25,15 +25,12 @@ def _bench_cfg():
 
 
 def _train_cfg():
-    """train.py's raster_cfg from default CLI flags."""
-    import argparse
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--max_instances", type=int, default=1 << 19)
-    parser.add_argument("--strip", type=int, default=RasterConfig.strip)
-    parser.add_argument("--tile", type=int, default=RasterConfig.tile)
-    args = parser.parse_args([])
-    return RasterConfig(max_instances=args.max_instances, strip=args.strip,
-                        tile=args.tile)
+    """train.py's raster_cfg from its REAL parser at default CLI flags."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from train import build_parser, raster_cfg_from_args
+    args = build_parser().parse_args(["-s", "x", "-m", "y"])
+    return raster_cfg_from_args(args)
 
 
 def test_bench_and_train_share_kernel_config(monkeypatch):
@@ -50,13 +47,15 @@ def test_bench_and_train_share_kernel_config(monkeypatch):
 
 
 def test_train_cli_defaults_match_rasterconfig():
-    """train.py's argparse defaults must track the RasterConfig defaults
-    (parse the real parser, not a reconstruction)."""
-    import re
-    src = open(os.path.join(os.path.dirname(__file__), "..",
-                            "train.py")).read()
-    assert 'default=RasterConfig.strip' in src
-    assert 'default=RasterConfig.tile' in src
+    """train.py's argparse defaults must track the RasterConfig defaults —
+    checked against the imported parser itself."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from train import build_parser
+    args = build_parser().parse_args(["-s", "x", "-m", "y"])
+    assert args.strip == RasterConfig.strip
+    assert args.tile == RasterConfig.tile
+    assert args.chunk == RasterConfig.chunk
 
 
 def test_a_b_winners_are_the_defaults():

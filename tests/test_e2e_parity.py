@@ -22,6 +22,7 @@ def test_standin_parity_pipeline():
     assert out["albedo_psnr"] > 16.0, out
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_standin_parity_medium():
     """The discriminating config (VERDICT r2 item 7): 10k+ gaussians after
