@@ -71,6 +71,11 @@ def main(argv=None):
     raster_cfg = raster_cfg_from_args(args)
 
     import jax
+    # persistent compile cache: resume attempts and repeated runs skip the
+    # multi-minute step compiles (same cache bench.py uses)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
