@@ -276,12 +276,15 @@ def _build_geo_blocks(geo, starts, counts, gid_s, cell_cap):
     gid_np = np.asarray(jax.device_get(gid_s))
     rows = np.where(ok, gid_np[np.clip(src, 0, len(gid_np) - 1)], -1)
     rows = np.concatenate([rows, np.full((1, blk), -1, rows.dtype)], 0)
-    # one device gather builds the whole table; id == -1 -> zero row N
+    # one device gather builds the whole table; id == -1 -> zero row N.
+    # FIELD-MAJOR rows ([_PACK_W, blk] flattened): the Pallas march kernel
+    # extracts field f as the static lane slice [f*blk:(f+1)*blk]
+    # (ops/march_pallas.py layout contract)
     packed = pack_geometry(geo)
     n = packed.shape[0] - 1
     rows_j = jnp.asarray(rows.astype(np.int32))
-    block_geo = packed[jnp.where(rows_j >= 0, rows_j, n)].reshape(
-        bocc + 1, blk * _PACK_W)
+    block_geo = packed[jnp.where(rows_j >= 0, rows_j, n)] \
+        .transpose(0, 2, 1).reshape(bocc + 1, _PACK_W * blk)
     return block_geo, jnp.asarray(block_start)
 
 
@@ -643,6 +646,10 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
     blk = _TRACE_BLOCK
     nb_cap = -(-cap // blk)
     use_blocks = grid.block_geo is not None
+    from svgir_tpu.ops.march_pallas import (march_test_merge,
+                                            use_pallas_march)
+    use_kernel = use_blocks and use_pallas_march()
+    _kernel_interpret = lambda: jax.default_backend() != "tpu"
     if not use_blocks:
         # fallback: cell lists as [C * nb_cap, blk] rows — (cell, block)
         # pairs become one id-row gather + a [R, blk] packed-row gather
@@ -683,9 +690,11 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
         mt, mi = bitonic_topk_small(all_t, all_idx, k)
         return {"t": mt, "idx": mi}
 
-    def visit(vi, bi):
-        """One block visit at cursor (vi, bi): candidate t/idx + advanced
-        cursor."""
+    def visit(vi, bi, hits):
+        """One block visit at cursor (vi, bi).  Returns (cand-or-None,
+        hits, vi, bi): the fused-kernel path merges into ``hits`` itself
+        and returns cand=None; the XLA path returns the candidate dict
+        for the caller's batched merge."""
         vc = jnp.minimum(vi, vs_budget - 1)
         j = visit_step[rows, vc]                               # [R]
         live = (j < n_steps) & (vi < vs_budget)
@@ -695,15 +704,25 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
         t_hi = jnp.minimum((jj + span) * dt, t_max)
         mid = rays_o + (t_lo + 0.5 * dt)[:, None] * rays_d
         cell = _cell_index(grid, mid)
+        cand = None
         if use_blocks:
             # ONE contiguous block-row gather per visit instead of a
             # [R, blk] packed per-candidate gather ((8,128)-tile
             # amplification, 10.6 ms/visit-step at r3 shapes)
             zrow = grid.block_geo.shape[0] - 1
             row = jnp.where(live, grid.block_start[cell] + bi, zrow)
-            g = grid.block_geo[row].reshape(r, blk, _PACK_W)
-            cand = _test_candidates(geo, None, rays_o, rays_d, t_lo, t_hi,
-                                    geo_rows=g)
+            g = grid.block_geo[row]                    # [R, 32*blk] f-major
+            if use_kernel:
+                # fused test + top-k merge in VMEM (ops/march_pallas.py):
+                # no [R, BLK] temporaries or sort calls touch HBM
+                ht, hi_ = march_test_merge(
+                    g, rays_o, rays_d, t_lo, t_hi, hits["t"], hits["idx"],
+                    blk=blk, k=k, interpret=_kernel_interpret())
+                hits = {"t": ht, "idx": hi_}
+            else:
+                g3 = g.reshape(r, _PACK_W, blk).transpose(0, 2, 1)
+                cand = _test_candidates(geo, None, rays_o, rays_d, t_lo,
+                                        t_hi, geo_rows=g3)
         else:
             row = cell * nb_cap + bi
             ids = jnp.where(live[:, None], ids_blocked[row], -1)
@@ -715,20 +734,23 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
         more = live & (bi + 1 < nb_here)
         vi = jnp.where(more, vi, vi + 1)
         bi = jnp.where(more, bi + 1, 0)
-        return cand, vi, bi
+        return cand, hits, vi, bi
 
     def body(carry, _):
         vi, bi, hits = carry
         # batch ``merge_every`` visits into ONE top-k merge: the merge is
         # the dominant per-visit cost (9.5 ms/visit attributed r4) and
-        # top_k cost grows sublinearly in candidate width
+        # top_k cost grows sublinearly in candidate width.  (The fused
+        # kernel merges per visit in VMEM — cand comes back None.)
         cts, cis = [], []
         for _u in range(merge_every):
-            cand, vi, bi = visit(vi, bi)
-            cts.append(cand["t"])
-            cis.append(cand["idx"])
-        hits = merge(hits, jnp.concatenate(cts, axis=1),
-                     jnp.concatenate(cis, axis=1))
+            cand, hits, vi, bi = visit(vi, bi, hits)
+            if cand is not None:
+                cts.append(cand["t"])
+                cis.append(cand["idx"])
+        if cts:
+            hits = merge(hits, jnp.concatenate(cts, axis=1),
+                         jnp.concatenate(cis, axis=1))
         return (vi, bi, hits), None
 
     init_cur = (jnp.zeros((r,), jnp.int32), jnp.zeros((r,), jnp.int32),

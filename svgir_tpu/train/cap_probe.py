@@ -2,12 +2,17 @@
 
 bench.py sizes ``max_instances`` by probing the scene's actual instance
 count (the r2 exp matrix's best configuration); train.py used a fixed
-1<<19 default instead — and that cap is CATASTROPHIC on TPU: the same
-jitted step measured 38.7 ms/iter at cap 327680 vs 1115 ms/iter at cap
-524288 (2026-08-20, 100k gaussians, 800x800, tools/probe_trainer_gap.py
-variants) — a 29x cliff, not a gradual slope.  The CUDA reference sizes
-its buffers dynamically per frame (rasterizer_impl.cu:70-111); the TPU
-analog is: probe snug at start, grow on overflow (trainer auto-grow).
+1<<19 default instead — and that exact cap is CATASTROPHIC on TPU: the
+same jitted step measured 38.7 ms/iter at cap 327680 and 43.6 at 458752,
+but 1115 ms/iter at cap 524288 == 1<<19 (2026-08-20/21, 100k gaussians,
+800x800, tools/probe_trainer_gap.py variants) — while the real trainer
+at snug cap 872448 runs 95 ms/iter at 228k gaussians.  The pathology is
+the POWER-OF-TWO cap value (layout/stride aliasing at exactly 2^19), not
+buffer size; snug probing yields non-pow2 caps and sidesteps it, besides
+shrinking every instance-sized gather/scatter in the step.  The CUDA
+reference sizes its buffers dynamically per frame
+(rasterizer_impl.cu:70-111); the TPU analog is: probe snug at start,
+grow on overflow (trainer auto-grow).
 """
 
 from __future__ import annotations
