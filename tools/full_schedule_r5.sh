@@ -20,6 +20,12 @@ S1_ITERS=${S1_ITERS:-30000}
 S2_ITERS=${S2_ITERS:-50000}
 ATTEMPT_TIMEOUT=${ATTEMPT_TIMEOUT:-3000}
 MAX_ATTEMPTS=${MAX_ATTEMPTS:-8}
+# densification bound: the procedural GT densifies pathologically (approx
+# 500k alive by iter 2300 and climbing to the 1M cap, ~2x step time per
+# 2x points) where real TensoIR scenes equilibrate at ~100-350k; 250k
+# keeps the schedule and densify dynamics (20k -> 250k = 12x growth)
+# while bounding wall clock.  Documented in BASELINE.md.
+MAX_POINTS=${MAX_POINTS:-250000}
 
 if [ ! -f "$SCENE/transforms_train.json" ]; then
   timeout 900 python tools/make_synth_dataset.py --out "$SCENE" \
@@ -45,6 +51,7 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   timeout "$ATTEMPT_TIMEOUT" python train.py --eval \
       -s "$SCENE" -m "$OUT1" "${RESUME_ARGS[@]}" \
       --iterations "$S1_ITERS" \
+      --max_points "$MAX_POINTS" \
       --lambda_normal_render_depth 0.0 \
       --lambda_normal_smooth 0.02 \
       --lambda_mask_entropy 0.1 \
