@@ -78,7 +78,10 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   fi
   RESUME=${CK2:-$CKPT}
   echo "stage2 resuming $RESUME"
-  timeout "$ATTEMPT_TIMEOUT" python train.py --eval \
+  # march kernel stays off for the unattended run until it has a clean
+  # on-TPU compile record (tools/bench_bake.py validates it separately)
+  timeout "$ATTEMPT_TIMEOUT" env SVGIR_MARCH_PALLAS="${S2_MARCH_PALLAS:-0}" \
+      python train.py --eval \
       -s "$SCENE" -m "$OUT2" \
       -c "$RESUME" \
       -t render_relight \
