@@ -89,3 +89,34 @@ def test_march_kernel_single_visit_merge_contract():
                                atol=1e-6)
     # dead slots stay inf/-1
     assert (np.asarray(hi1)[~np.isfinite(np.asarray(ht1))] == -1).all()
+
+
+@pytest.mark.nightly
+def test_march_kernel_aot_compiles_for_v5e():
+    """Mosaic-compile the kernel for a v5e topology via local libtpu (no
+    chips needed) — guards against kernel constructs that interpret mode
+    accepts but the TPU compiler rejects."""
+    import functools
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-8")
+    from jax.experimental import topologies
+    from svgir_tpu.ops.march_pallas import march_test_merge
+    try:
+        topo = topologies.get_topology_desc("v5e:2x4", "tpu")
+    except Exception as exc:          # no libtpu in this environment
+        pytest.skip(f"no TPU topology support: {exc}")
+    mesh = Mesh(np.array(topo.devices[:1]), ("x",))
+    R, BLK, K = 4096, 64, 16
+    sh = lambda shape, dt: jax.ShapeDtypeStruct(
+        shape, dt, sharding=NamedSharding(mesh, P()))
+    f = jax.jit(functools.partial(march_test_merge, blk=BLK, k=K,
+                                  interpret=False))
+    compiled = f.lower(
+        sh((R, 32 * BLK), np.float32), sh((R, 3), np.float32),
+        sh((R, 3), np.float32), sh((R,), np.float32),
+        sh((R,), np.float32), sh((R, K), np.float32),
+        sh((R, K), np.int32)).compile()
+    assert "tpu_custom_call" in compiled.as_text()

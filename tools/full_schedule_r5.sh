@@ -70,6 +70,12 @@ if [ "$(ckpt_iter "$CKPT")" -lt "$S1_ITERS" ]; then
 fi
 echo "stage2 from $CKPT"
 
+# operator hold point: lets a measurement window run between the stages
+# (touch /tmp/HOLD_STAGE2 to pause; rm it to continue)
+while [ -f /tmp/HOLD_STAGE2 ]; do
+  echo "holding before stage 2 ($(date +%H:%M))"; sleep 30
+done
+
 # ---- stage 2: same attempt loop ---------------------------------------
 for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   CK2=$(latest_ckpt "$OUT2")
