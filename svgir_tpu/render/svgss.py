@@ -206,12 +206,12 @@ def calculate_loss_svgss(camera, params, bake, results,
 
     tb = {}
     l1 = L.l1_loss(rendered, gt)
-    ssim_val = L.ssim(rendered, gt)
+    # one stacked blur for both SSIMs (GT window stats shared)
+    ssim_val, ssim_pbr = L.ssim_pair(rendered, pbr, gt)
     tb["l1"], tb["ssim"], tb["psnr"] = l1, ssim_val, L.psnr(rendered, gt)
     loss = (1 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1 - ssim_val)
 
     l1_pbr = L.l1_loss(pbr, gt)
-    ssim_pbr = L.ssim(pbr, gt)
     tb["l1_pbr"], tb["psnr_pbr"] = l1_pbr, L.psnr(pbr, gt)
     loss = loss + opt.lambda_pbr * (
         (1 - opt.lambda_dssim) * l1_pbr + opt.lambda_dssim * (1 - ssim_pbr))

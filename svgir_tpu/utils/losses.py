@@ -117,6 +117,41 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     return ssim_map.mean()
 
 
+def ssim_pair(img1: jax.Array, img2: jax.Array, ref: jax.Array,
+              window_size: int = 11, precision=None):
+    """(ssim(img1, ref), ssim(img2, ref)) sharing the reference image's
+    window statistics: one stacked blur of 8 quantities instead of two
+    independent 5-quantity blurs (stage-2 computes SSIM of both the
+    radiance render AND the deferred-PBR image against the same GT,
+    svgss.py:274,283).  Same contractions per quantity as ``ssim`` —
+    numerically identical results."""
+    if precision is None:
+        precision = _ssim_train_precision()
+    g1d = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
+                 / (2 * 1.5 ** 2))
+    g1d = (g1d / g1d.sum()).astype(np.float32)
+    c = img1.shape[0]
+    stacked = jnp.concatenate(
+        [img1, img2, ref, img1 * img1, img2 * img2, ref * ref,
+         img1 * ref, img2 * ref], axis=0)
+    b = _separable_blur(stacked, g1d, precision=precision)
+    mu1, mu2, mur = b[0:c], b[c:2 * c], b[2 * c:3 * c]
+    e1, e2, er = b[3 * c:4 * c], b[4 * c:5 * c], b[5 * c:6 * c]
+    e1r, e2r = b[6 * c:7 * c], b[7 * c:8 * c]
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+
+    def one(mu_a, e_a, e_ar):
+        mu_ar = mu_a * mur
+        sig_a = e_a - mu_a * mu_a
+        sig_r = er - mur * mur
+        sig_ar = e_ar - mu_ar
+        return (((2 * mu_ar + c1) * (2 * sig_ar + c2)) /
+                ((mu_a * mu_a + mur * mur + c1)
+                 * (sig_a + sig_r + c2))).mean()
+
+    return one(mu1, e1, e1r), one(mu2, e2, e2r)
+
+
 # ---------------------------------------------------------------------------
 # Sobel spatial gradients (kornia-compatible, normalized, replicate padding)
 # ---------------------------------------------------------------------------
