@@ -36,10 +36,17 @@ def _pow2(x: int) -> int:
 
 
 def use_pallas_march() -> bool:
+    """Default OFF: the kernel is correct in interpret mode (parity tests,
+    tests/test_march_pallas.py) and Mosaic-compiles for v5e (AOT guard),
+    but on the real chip the first stage-2 bake run FAULTED the TPU worker
+    ("kernel fault", 2026-08-21 03:53, /tmp/stage2_r5.log) — a runtime
+    DMA/addressing bug not caught by compile.  Opt in with
+    SVGIR_MARCH_PALLAS=1 for debugging; flip the default back once a real
+    -chip run is clean."""
     env = os.environ.get("SVGIR_MARCH_PALLAS")
     if env is not None:
         return env not in ("0", "false")
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def _march_kernel(g_ref, o_ref, d_ref, tlo_ref, thi_ref, ht_in, hi_in,
