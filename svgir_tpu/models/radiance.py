@@ -44,19 +44,21 @@ def _probe_blocks(grid, po, pd, *, grid_t_max, n_steps):
 
 
 @partial(jax.jit, static_argnames=("grid_t_max", "k_hits", "n_steps",
-                                   "merge_every", "max_visits"))
+                                   "merge_every", "max_visits",
+                                   "use_kernel"))
 def _march_group(geo, grid, shs, means, o, d, si, *, grid_t_max, k_hits,
-                 n_steps, merge_every, max_visits):
+                 n_steps, merge_every, max_visits, use_kernel=False):
     """lax.map of the compacted march over a group of same-budget ray
     chunks — one dispatch per budget group."""
     from svgir_tpu.ops import grid_tracer
 
     def one(x):
         o1, d1, s1 = x
-        hits = grid_tracer.nearest_hits_grid(
+        hits = grid_tracer._nearest_hits_grid(
             geo, grid, o1, d1, t_max=grid_t_max, k=k_hits,
             n_steps=n_steps, max_visits=max_visits,
-            merge_every=merge_every)
+            merge_every=merge_every,
+            kmax=grid_tracer._run_kmax(grid), use_kernel=use_kernel)
         out = tracing.radiance_march(hits, s1, shs, means, o1)
         # a clipped visit budget (never at the probed V, but callers may
         # pass their own) surfaces as exhaustion, like a full K-hit list
@@ -205,7 +207,8 @@ def bake_radiance(means: jax.Array, scales: jax.Array, quats: jax.Array,
                                si_p[sl].reshape(g, ray_chunk),
                                grid_t_max=grid_t_max, k_hits=k_hits,
                                n_steps=n_steps, merge_every=merge_every,
-                               max_visits=budgets[i])
+                               max_visits=budgets[i],
+                               use_kernel=bool(grid.field_major))
             outs.append(jax.tree.map(
                 lambda x: x.reshape((g * ray_chunk,) + x.shape[2:]), res))
             i = jx

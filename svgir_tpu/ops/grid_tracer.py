@@ -68,6 +68,13 @@ class TraceGrid(NamedTuple):
     overflow: jax.Array     # [] bool — some cell exceeded its cap
     block_geo: Optional[jax.Array] = None    # [Bocc+1, BLK*32] f32
     block_start: Optional[jax.Array] = None  # [C] i32 first block row
+    # block_geo row layout, chosen at BUILD time: False = candidate-major
+    # ([BLK, 32] flattened, the r4 layout _test_candidates consumes
+    # directly), True = field-major ([32, BLK] flattened, the Pallas march
+    # kernel's static-lane-slice layout, ops/march_pallas.py).  Stored as
+    # a (traced-but-unused) leaf; jitted entry points receive it as a
+    # STATIC flag from the eager wrapper.
+    field_major: bool = False
 
 
 def auto_res(geo: tracing.SurfelGeometry, *, sigma: float = 3.0,
@@ -231,12 +238,12 @@ def build_grid(geo: tracing.SurfelGeometry, *, res: int = 32,
     else:
         overflow = jnp.asarray(max_count > cell_cap)
     ids = _expand_lists(gid_s, starts, counts, res ** 3, cell_cap)
-    block_geo, block_start = _build_geo_blocks(geo, starts, counts,
-                                               gid_s, cell_cap)
+    block_geo, block_start, fmaj = _build_geo_blocks(geo, starts, counts,
+                                                     gid_s, cell_cap)
     return TraceGrid(cell_ids=ids, cell_count=counts, big_ids=big_ids,
                      lo=lo, inv_cell=inv_cell, res=res, cell_cap=cell_cap,
                      overflow=overflow, block_geo=block_geo,
-                     block_start=block_start)
+                     block_start=block_start, field_major=fmaj)
 
 
 # block_geo memory ceiling; above it the march falls back to the per-visit
@@ -261,7 +268,7 @@ def _build_geo_blocks(geo, starts, counts, gid_s, cell_cap):
         print(f"WARNING: geo-block table would take {est/2**30:.1f} GiB "
               f"(> {_BLOCKGEO_LIMIT/2**30:.1f}); falling back to the "
               "per-visit packed gather", flush=True)
-        return None, None
+        return None, None, False
     block_start = np.zeros(len(counts_c), np.int32)
     np.cumsum(nbc[:-1], out=block_start[1:])
     # per-block source slices of the sorted (cell, gid) pair array
@@ -277,15 +284,23 @@ def _build_geo_blocks(geo, starts, counts, gid_s, cell_cap):
     rows = np.where(ok, gid_np[np.clip(src, 0, len(gid_np) - 1)], -1)
     rows = np.concatenate([rows, np.full((1, blk), -1, rows.dtype)], 0)
     # one device gather builds the whole table; id == -1 -> zero row N.
-    # FIELD-MAJOR rows ([_PACK_W, blk] flattened): the Pallas march kernel
-    # extracts field f as the static lane slice [f*blk:(f+1)*blk]
-    # (ops/march_pallas.py layout contract)
+    # Layout picked at build time: candidate-major when the XLA visit path
+    # will consume it (no per-visit transpose — the r4 fast path),
+    # field-major ([_PACK_W, blk] flattened) when the Pallas march kernel
+    # is enabled, whose static lane slices [f*blk:(f+1)*blk] need it
     packed = pack_geometry(geo)
     n = packed.shape[0] - 1
     rows_j = jnp.asarray(rows.astype(np.int32))
-    block_geo = packed[jnp.where(rows_j >= 0, rows_j, n)] \
-        .transpose(0, 2, 1).reshape(bocc + 1, _PACK_W * blk)
-    return block_geo, jnp.asarray(block_start)
+    gathered = packed[jnp.where(rows_j >= 0, rows_j, n)]   # [B+1, blk, 32]
+    from svgir_tpu.ops.march_pallas import use_pallas_march
+    if use_pallas_march():
+        block_geo = gathered.transpose(0, 2, 1).reshape(
+            bocc + 1, _PACK_W * blk)
+        field_major = True
+    else:
+        block_geo = gathered.reshape(bocc + 1, blk * _PACK_W)
+        field_major = False
+    return block_geo, jnp.asarray(block_start), field_major
 
 
 def build_grid_auto(geo: tracing.SurfelGeometry, *, res: int = 32,
@@ -632,13 +647,15 @@ def nearest_hits_grid(geo: tracing.SurfelGeometry, grid: TraceGrid,
     return _nearest_hits_grid(geo, grid, rays_o, rays_d, t_max=t_max, k=k,
                               n_steps=n_steps, max_visits=max_visits,
                               merge_every=merge_every,
-                              kmax=_run_kmax(grid))
+                              kmax=_run_kmax(grid),
+                              use_kernel=bool(grid.field_major))
 
 
 @partial(jax.jit, static_argnames=("k", "n_steps", "max_visits",
-                                   "merge_every", "kmax"))
+                                   "merge_every", "kmax", "use_kernel"))
 def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
-                       max_visits, merge_every=1, kmax=4):
+                       max_visits, merge_every=1, kmax=4,
+                       use_kernel=False):
     r = rays_o.shape[0]
     cell_size = 1.0 / grid.inv_cell
     dt = jnp.min(cell_size) * 0.5      # half-cell steps: no diagonal misses
@@ -646,9 +663,8 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
     blk = _TRACE_BLOCK
     nb_cap = -(-cap // blk)
     use_blocks = grid.block_geo is not None
-    from svgir_tpu.ops.march_pallas import (march_test_merge,
-                                            use_pallas_march)
-    use_kernel = use_blocks and use_pallas_march()
+    use_kernel = use_kernel and use_blocks
+    from svgir_tpu.ops.march_pallas import march_test_merge
     _kernel_interpret = lambda: jax.default_backend() != "tpu"
     if not use_blocks:
         # fallback: cell lists as [C * nb_cap, blk] rows — (cell, block)
@@ -711,16 +727,19 @@ def _nearest_hits_grid(geo, grid, rays_o, rays_d, *, t_max, k, n_steps,
             # amplification, 10.6 ms/visit-step at r3 shapes)
             zrow = grid.block_geo.shape[0] - 1
             row = jnp.where(live, grid.block_start[cell] + bi, zrow)
-            g = grid.block_geo[row]                    # [R, 32*blk] f-major
+            g = grid.block_geo[row]                    # [R, blk*32]
             if use_kernel:
                 # fused test + top-k merge in VMEM (ops/march_pallas.py):
                 # no [R, BLK] temporaries or sort calls touch HBM
+                # (g rows are field-major — build-time layout)
                 ht, hi_ = march_test_merge(
                     g, rays_o, rays_d, t_lo, t_hi, hits["t"], hits["idx"],
                     blk=blk, k=k, interpret=_kernel_interpret())
                 hits = {"t": ht, "idx": hi_}
             else:
-                g3 = g.reshape(r, _PACK_W, blk).transpose(0, 2, 1)
+                # candidate-major rows feed _test_candidates directly (the
+                # r4 fast path, no per-visit transpose)
+                g3 = g.reshape(r, blk, _PACK_W)
                 cand = _test_candidates(geo, None, rays_o, rays_d, t_lo,
                                         t_hi, geo_rows=g3)
         else:

@@ -36,13 +36,27 @@ def _pow2(x: int) -> int:
 
 
 def use_pallas_march() -> bool:
-    """Default OFF: the kernel is correct in interpret mode (parity tests,
-    tests/test_march_pallas.py) and Mosaic-compiles for v5e (AOT guard),
-    but on the real chip the first stage-2 bake run FAULTED the TPU worker
-    ("kernel fault", 2026-08-21 03:53, /tmp/stage2_r5.log) — a runtime
-    DMA/addressing bug not caught by compile.  Opt in with
-    SVGIR_MARCH_PALLAS=1 for debugging; flip the default back once a real
-    -chip run is clean."""
+    """Default OFF — two open issues, both diagnosed 2026-08-21:
+
+    1. NUMERICS (root-caused): the march's alpha gate evaluates the 3D
+       inv_cov quadratic at the plane hit — for thin surfels
+       (scale_z ~ 0, inv_cov ~ 1e10) that is catastrophic cancellation,
+       and the result is REASSOCIATION NOISE of magnitude +-tens (one
+       measured hit: XLA order -> power ~ -0.0, kernel order -> -16.0,
+       mathematically exact value -3.3 = -0.5*(u^2+v^2)).  The XLA visit
+       path agrees with the brute oracle only because both share one
+       evaluation order (the reference CUDA has the same formula and the
+       same property, intersect_test.slang:374-381); the kernel's order
+       differs, so near-rim accept/reject decisions diverge (~25% of
+       finite hits on the thin-surfel test scene).  The fix is a stable
+       gate (power = -0.5*dis from the local-frame u,v that both paths
+       already compute) applied to kernel AND XLA AND oracle together —
+       a semantics change vs the reference's noise, left for follow-up.
+    2. On the real chip the first bake run faulted the TPU worker
+       ("kernel fault", 03:53, /tmp/stage2_r5.log) — possibly the same
+       issue manifesting differently, not yet reproduced in isolation.
+
+    Opt in with SVGIR_MARCH_PALLAS=1 for debugging."""
     env = os.environ.get("SVGIR_MARCH_PALLAS")
     if env is not None:
         return env not in ("0", "false")
